@@ -1,0 +1,137 @@
+"""Sharded rendering: shard_map over the device mesh.
+
+Replaces the reference's OpenMP pixel loop (Scene.h:318-320) with a
+`jax.shard_map` over a `Mesh`:
+
+  * pixel blocks shard along `rays`; every chip traces its own rays,
+  * the scene pytree is replicated along `rays` — and optionally its
+    triangle block is sharded along `prims` (each chip intersects its
+    triangle shard, winners combine via all_gather argmin inside
+    `closest_hit`),
+  * gradients w.r.t. replicated scene parameters are psum-reduced across
+    the mesh automatically by shard_map's transpose, and XLA's
+    latency-hiding scheduler overlaps that collective with the remaining
+    backward compute (BASELINE north star).
+
+The image edge is padded so the ray axis divides evenly; padding pixels
+trace real rays and are cropped on return.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from raytracingengine_tpu.core.camera import Camera
+from raytracingengine_tpu.geometry.intersect import flatten_scene
+from raytracingengine_tpu.parallel.mesh import PRIM_AXIS, RAY_AXIS
+from raytracingengine_tpu.render.config import RenderConfig
+from raytracingengine_tpu.render.pipeline import _render_chunk, resolve_mode
+from raytracingengine_tpu.scene import Scene
+
+
+def scene_partition_specs(scene: Scene, shard_triangles: bool) -> Scene:
+    """PartitionSpec pytree for a Scene: everything replicated except
+    (optionally) the triangle block, sharded along PRIM_AXIS on dim 0."""
+
+    def repl(_):
+        return P()
+
+    specs = jax.tree.map(repl, scene)
+    if shard_triangles:
+        tri_specs = jax.tree.map(lambda _: P(PRIM_AXIS), scene.triangles)
+        specs = jax.tree_util.tree_map(
+            lambda s: s, specs
+        )  # copy container
+        specs = specs.__class__(
+            spheres=specs.spheres,
+            planes=specs.planes,
+            triangles=tri_specs,
+            lights=specs.lights,
+            has_transparency=scene.has_transparency,
+        )
+    return specs
+
+
+def render_hdr_sharded(
+    scene: Scene,
+    camera: Camera,
+    cfg: RenderConfig,
+    mesh: Mesh,
+    key: jnp.ndarray | None = None,
+    mode: str | None = None,
+) -> jnp.ndarray:
+    """Full-frame sharded render -> [H, W, 3]. Jittable.
+
+    Mesh axes: RAY_AXIS shards pixels; PRIM_AXIS (if present) shards the
+    triangle block (triangle count must divide the axis size — build the
+    scene with pad_multiple).
+    """
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    m = mode or resolve_mode(scene, cfg)
+    has_prim_axis = PRIM_AXIS in mesh.axis_names
+    prim_axis = PRIM_AXIS if has_prim_axis else None
+    n_ray = mesh.shape[RAY_AXIS]
+
+    px, py = camera.pixel_grid()
+    r = camera.num_pixels
+    # Local chunking keeps per-chip memory bounded; pad to n_ray * chunk.
+    local = -(-r // n_ray)
+    chunk = min(cfg.chunk_size, local)
+    n_chunks = -(-local // chunk)
+    local = n_chunks * chunk
+    pad = n_ray * local - r
+    px = jnp.pad(px, (0, pad))
+    py = jnp.pad(py, (0, pad))
+
+    scene_specs = scene_partition_specs(scene, has_prim_axis)
+    cam_specs = jax.tree.map(lambda _: P(), camera)
+
+    def local_render(px_l, py_l, scene_l, camera_l, key_l):
+        flat = flatten_scene(scene_l)
+        shard_id = jax.lax.axis_index(RAY_AXIS)
+        px_c = px_l.reshape(n_chunks, chunk)
+        py_c = py_l.reshape(n_chunks, chunk)
+
+        def per_chunk(args):
+            cid, px_i, py_i = args
+            ck = jax.random.fold_in(key_l, shard_id * n_chunks + cid)
+            return _render_chunk(
+                flat, camera_l, cfg, m, px_i, py_i, ck, prim_axis
+            )
+
+        out = jax.lax.map(per_chunk, (jnp.arange(n_chunks), px_c, py_c))
+        return out.reshape(-1, 3)
+
+    fn = jax.shard_map(
+        local_render,
+        mesh=mesh,
+        in_specs=(P(RAY_AXIS), P(RAY_AXIS), scene_specs, cam_specs, P()),
+        out_specs=P(RAY_AXIS),
+        check_vma=False,
+    )
+    out = fn(px, py, scene, camera, key)
+    return out[:r].reshape(camera.height, camera.width, 3)
+
+
+def render_hdr_auto(
+    scene: Scene,
+    camera: Camera,
+    cfg: RenderConfig,
+    mesh: Mesh,
+    key: jnp.ndarray | None = None,
+    mode: str | None = None,
+) -> jnp.ndarray:
+    """GSPMD auto-partitioned render: the single-device pipeline with a
+    sharding constraint on the ray axis; XLA distributes compute and
+    inserts the backward-pass gradient psums itself. This is the
+    differentiation-friendly distribution path (shard_map's manual path
+    above is forward-render oriented).
+    """
+    from raytracingengine_tpu.render.pipeline import render_hdr
+
+    return render_hdr(scene, camera, cfg, key=key, mode=mode, mesh=mesh)
