@@ -1,0 +1,164 @@
+"""Command-line interface: render / aov / bench-style timing.
+
+The reference's app layer is main() (RaytracingEngine.cpp:216-330): build
+the hard-coded scene, render, print the wall-clock, write all 7 tonemaps
+as PPM and shell out to ffmpeg for PNG. The CLI generalizes that:
+
+  python -m raytracingengine_tpu.cli render --scene head_box \
+      --width 512 --height 512 --spp 4 --tonemap all --format png --out out/
+
+Scenes: builtin names (head_box, baseline_spheres, glass, stress) or a
+JSON file (scenes/config.py schema). PNG is encoded in-process (native
+zlib or pure Python) — no ffmpeg.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def _build_scene(args):
+    import jax.numpy as jnp
+
+    kw = dict(width=args.width, height=args.height, spp=args.spp)
+    if args.scene == "head_box":
+        from raytracingengine_tpu.scenes.builders import head_box_scene
+
+        return head_box_scene(**kw)
+    if args.scene == "baseline_spheres":
+        from raytracingengine_tpu.scenes.builders import baseline_sphere_scene
+
+        return baseline_sphere_scene(**kw)
+    if args.scene == "glass":
+        from raytracingengine_tpu.scenes.builders import glass_sphere_scene
+
+        return glass_sphere_scene(**kw)
+    if args.scene == "stress":
+        from raytracingengine_tpu.scenes.builders import stress_scene
+
+        return stress_scene(**kw)
+    from raytracingengine_tpu.scenes.config import load_scene_json
+
+    return load_scene_json(
+        args.scene, width=args.width, height=args.height, spp=args.spp
+    )
+
+
+def _save(img_u8: np.ndarray, path_base: str, fmt: str) -> str:
+    from raytracingengine_tpu.imageio import write_png, write_ppm
+
+    path = f"{path_base}.{fmt}"
+    if fmt == "png":
+        write_png(path, img_u8)
+    else:
+        write_ppm(path, img_u8)
+    return path
+
+
+def cmd_render(args) -> int:
+    import jax
+
+    from raytracingengine_tpu.render.config import RenderConfig
+    from raytracingengine_tpu.render.pipeline import render_hdr
+    from raytracingengine_tpu.tonemap import OPERATORS, to_uint8
+    from raytracingengine_tpu.utils.tpu import setup_compile_cache
+
+    setup_compile_cache()
+    scene, camera = _build_scene(args)
+    cfg = RenderConfig(
+        max_depth=args.max_depth,
+        chunk_size=args.chunk_size,
+        shadow_mode=args.shadow_mode,
+    )
+    if args.mesh:
+        from raytracingengine_tpu.parallel import make_mesh, render_hdr_auto
+
+        mesh = make_mesh()
+        render = jax.jit(lambda s: render_hdr_auto(s, camera, cfg, mesh))
+    else:
+        render = jax.jit(lambda s: render_hdr(s, camera, cfg))
+
+    t0 = time.time()
+    hdr = jax.block_until_ready(render(scene))
+    t1 = time.time()
+    # Timing printout, like RaytracingEngine.cpp:292-299 (plus compile split)
+    hdr2 = jax.block_until_ready(render(scene))
+    t2 = time.time()
+    del hdr2
+    print(
+        f"render: {camera.width}x{camera.height} spp={camera.spp} "
+        f"first={t1-t0:.2f}s steady={t2-t1:.3f}s "
+        f"({camera.num_pixels*camera.spp/max(t2-t1,1e-9)/1e6:.1f} Mrays/s)"
+    )
+
+    os.makedirs(args.out, exist_ok=True)
+    names = list(OPERATORS) if args.tonemap == "all" else [args.tonemap]
+    for name in names:
+        mapped = OPERATORS[name](hdr)
+        u8 = np.asarray(to_uint8(mapped))
+        path = _save(u8, os.path.join(args.out, name), args.format)
+        print(f"wrote {path}")
+    return 0
+
+
+def cmd_aov(args) -> int:
+    import jax
+
+    from raytracingengine_tpu.render.aov import render_aovs
+    from raytracingengine_tpu.utils.tpu import setup_compile_cache
+
+    setup_compile_cache()
+    scene, camera = _build_scene(args)
+    aovs = jax.jit(lambda s: render_aovs(s, camera))(scene)
+    os.makedirs(args.out, exist_ok=True)
+    for name, arr in aovs.items():
+        a = np.asarray(arr)
+        if a.ndim == 2:
+            a = np.repeat(a[..., None], 3, axis=-1)
+        u8 = (np.clip(a, 0, 1) * 255).astype(np.uint8)
+        path = _save(u8, os.path.join(args.out, name), args.format)
+        print(f"wrote {path}")
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="raytracingengine_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp):
+        sp.add_argument("--scene", default="head_box",
+                        help="builtin name or scene JSON path")
+        sp.add_argument("--width", type=int, default=512)
+        sp.add_argument("--height", type=int, default=512)
+        sp.add_argument("--spp", type=int, default=4)
+        sp.add_argument("--out", default="out")
+        sp.add_argument("--format", choices=["png", "ppm"], default="png")
+
+    r = sub.add_parser("render", help="render + tonemap")
+    common(r)
+    r.add_argument("--tonemap", default="aces",
+                   help="operator name or 'all' (the 7-operator family)")
+    r.add_argument("--max-depth", type=int, default=10)
+    r.add_argument("--chunk-size", type=int, default=65536)
+    r.add_argument("--shadow-mode", choices=["march", "binary", "soft"],
+                   default="march")
+    r.add_argument("--mesh", action="store_true",
+                   help="shard over all devices")
+    r.set_defaults(fn=cmd_render)
+
+    a = sub.add_parser("aov", help="depth/normal/albedo/hit maps")
+    common(a)
+    a.set_defaults(fn=cmd_aov)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

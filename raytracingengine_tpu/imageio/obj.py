@@ -21,6 +21,22 @@ import os
 import numpy as np
 
 
+def _materials_for(obj_path: str, names: list[str]) -> list[dict]:
+    """Parse the obj's mtllib(s) and return property dicts matching the
+    given usemtl name order (empty dict for unresolved names)."""
+    base = os.path.dirname(os.path.abspath(obj_path))
+    parsed: dict[str, dict] = {}
+    try:
+        with open(obj_path, "r", errors="replace") as f:
+            for line in f:
+                parts = line.split()
+                if parts and parts[0] == "mtllib" and len(parts) > 1:
+                    parsed.update(_parse_mtl(os.path.join(base, parts[1])))
+    except OSError:
+        pass
+    return [parsed.get(n, {}) for n in names]
+
+
 def _parse_mtl(path: str) -> dict[str, dict]:
     mats: dict[str, dict] = {}
     cur: dict | None = None
@@ -42,23 +58,37 @@ def _parse_mtl(path: str) -> dict[str, dict]:
     return mats
 
 
-def load_obj(path: str) -> dict:
+def load_obj(path: str, backend: str = "auto") -> dict:
     """-> dict(vertices [V,3] float64, indices [3*F] int64 flat,
     face_materials [F] int32 (-1 if none), materials list[dict],
     material_names list[str]).
 
     The flat `indices` layout mirrors the reference Model's storage
     (Shape.h:251-252: flat vector<int> of vertex indices, 3 per triangle).
+
+    backend: 'auto' uses the native C++ parser when built (identical
+    output except .mtl property parsing, which stays in Python since the
+    reference discards materials anyway), 'native' requires it, 'python'
+    forces the pure-Python path.
     """
+    if backend in ("auto", "native"):
+        from raytracingengine_tpu import native_bridge
+
+        native = native_bridge.load_obj_native(path)
+        if native is not None:
+            # Native parser skips .mtl property parsing; graft it on so
+            # callers that *do* want materials still get them.
+            native["materials"] = _materials_for(path, native["material_names"])
+            return native
+        if backend == "native":
+            raise RuntimeError("native OBJ parser not built (make -C native)")
     verts: list[tuple[float, float, float]] = []
     tris: list[int] = []
     face_mats: list[int] = []
-    mat_names: list[str] = []
-    mats: list[dict] = []
+    mat_names: list[str] = []  # usemtl names, first-seen order
     mat_lookup: dict[str, int] = {}
     cur_mat = -1
 
-    base = os.path.dirname(os.path.abspath(path))
     with open(path, "r", errors="replace") as f:
         for raw in f:
             line = raw.strip()
@@ -79,15 +109,12 @@ def load_obj(path: str) -> dict:
                 for k in range(1, len(idx) - 1):
                     tris.extend((idx[0], idx[k], idx[k + 1]))
                     face_mats.append(cur_mat)
-            elif tag == "mtllib" and len(parts) > 1:
-                parsed = _parse_mtl(os.path.join(base, parts[1]))
-                for name, m in parsed.items():
-                    if name not in mat_lookup:
-                        mat_lookup[name] = len(mats)
-                        mat_names.append(name)
-                        mats.append(m)
             elif tag == "usemtl" and len(parts) > 1:
-                cur_mat = mat_lookup.get(parts[1], -1)
+                name = parts[1]
+                if name not in mat_lookup:
+                    mat_lookup[name] = len(mat_names)
+                    mat_names.append(name)
+                cur_mat = mat_lookup[name]
 
     vertices = np.asarray(verts, np.float64).reshape(-1, 3)
     indices = np.asarray(tris, np.int64)
@@ -97,6 +124,6 @@ def load_obj(path: str) -> dict:
         "vertices": vertices,
         "indices": indices,
         "face_materials": np.asarray(face_mats, np.int32),
-        "materials": mats,
+        "materials": _materials_for(path, mat_names),
         "material_names": mat_names,
     }

@@ -22,10 +22,18 @@ def _chunk(tag: bytes, payload: bytes) -> bytes:
     )
 
 
-def png_bytes(rgb_u8: np.ndarray, compress_level: int = 6) -> bytes:
+def png_bytes(
+    rgb_u8: np.ndarray, compress_level: int = 6, backend: str = "auto"
+) -> bytes:
     arr = np.asarray(rgb_u8)
     if arr.dtype != np.uint8 or arr.ndim != 3 or arr.shape[2] != 3:
         raise ValueError(f"expected [H,W,3] uint8, got {arr.shape} {arr.dtype}")
+    if backend == "auto":
+        from raytracingengine_tpu import native_bridge
+
+        data = native_bridge.png_bytes_native(arr, compress_level)
+        if data is not None:
+            return data
     h, w = arr.shape[:2]
     # Filter type 0 (None) per scanline.
     raw = np.empty((h, 1 + w * 3), np.uint8)

@@ -11,11 +11,17 @@ from __future__ import annotations
 import numpy as np
 
 
-def write_ppm(path: str, rgb_u8: np.ndarray) -> None:
-    """rgb_u8: [H, W, 3] uint8."""
+def write_ppm(path: str, rgb_u8: np.ndarray, backend: str = "auto") -> None:
+    """rgb_u8: [H, W, 3] uint8. backend: 'auto' prefers the native C++
+    writer when built; 'python' forces the pure-Python path."""
     arr = np.asarray(rgb_u8)
     if arr.dtype != np.uint8 or arr.ndim != 3 or arr.shape[2] != 3:
         raise ValueError(f"expected [H,W,3] uint8, got {arr.shape} {arr.dtype}")
+    if backend == "auto":
+        from raytracingengine_tpu import native_bridge
+
+        if native_bridge.write_ppm_native(path, arr):
+            return
     h, w = arr.shape[:2]
     with open(path, "wb") as f:
         f.write(f"P6\n{w} {h}\n255\n".encode("ascii"))

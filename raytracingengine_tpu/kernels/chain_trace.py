@@ -1,0 +1,518 @@
+"""Fused Pallas TPU kernel: the entire opaque Whitted chain in one kernel.
+
+The XLA pipeline (render/integrator.py) materializes a [rays, prims]
+distance matrix, hit records, and march state in HBM between every bounce
+and every shadow test. This kernel keeps *all* per-ray state in registers
+/ VMEM for the whole trace: a tile of 1024 rays (an [8, 128] VPU block)
+is loaded once, bounced up to max_depth times — closest-hit scan, binary
+shadow tests against every light, Blinn-Phong shading, reflection-chain
+update — and only the final RGB leaves the chip.
+
+Scene layout: the primitive scan runs as a `fori_loop` over primitives
+with per-primitive scalars read from SMEM tables (the TPU scalar memory
+— exactly what it is for). Padded slots hold degenerate primitives that
+can never hit (sphere r^2 = -1, plane n = 0, triangle a = 0). This
+matches the reference's linear scan (Scene.h:218-257) with strict-<
+first-wins updates, vectorized 1024 rays at a time.
+
+Scope: opaque scenes (the chain integrator's domain), binary shadow
+visibility (== the reference march on opaque scenes, render/config.py),
+scenes up to a few hundred primitives (SMEM-resident). Larger scenes and
+transparency fall back to the XLA path. Forward only — the differentiable
+path stays on XLA; `chain_trace` wires a custom_vjp whose backward is the
+autodiff of the XLA integrator, so `jax.grad` through it still works.
+
+Parity notes (all mirrored from the reference):
+  sphere quadratic with a = d.d and eps=1e-6 preferring the near root
+  (Shape.h:72-98); plane |denom|>1e-6, t>=0 (Shape.h:149-159);
+  Moller-Trumbore EPSILON=1e-6 (Shape.h:202-220); shading skip conditions
+  and 1/d^2 falloff (Scene.h:79-129); Schlick Fresnel with opaque
+  reflectiveness = material.specular and the reflectiveness > bias spawn
+  test (Scene.h:189-195); sky gradient on miss/depth-exhaustion
+  (Scene.h:30-33, :132-139).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from raytracingengine_tpu.geometry.intersect import EPS, FlatScene
+
+SUB, LANE = 8, 128
+TILE = SUB * LANE  # rays per kernel instance
+
+_INF = 3.0e38
+
+
+def _sky(dx, dy, dz):
+    """Scene.h:30-33 on unit directions."""
+    t = 0.5 * (dy + 1.0)
+    return (
+        1.0 * (1.0 - t) + 0.5 * t,
+        1.0 * (1.0 - t) + 0.7 * t,
+        1.0 * (1.0 - t) + 1.0 * t,
+    )
+
+
+def _closest_hit(sph, pl_, tri, mat, ns, np_, nt, ox, oy, oz, dx, dy, dz):
+    """Linear scan over SMEM primitive tables -> best-hit state.
+
+    Returns (t, nx, ny, nz, ar, ag, ab, spec, shin); t >= _INF means miss.
+    Strict < updates reproduce the reference's first-wins tie-break in
+    family order (spheres, planes, triangles).
+    """
+    shape = ox.shape
+    # Single packed carry [9, SUB, LANE]: (t, nx, ny, nz, ar, ag, ab, sp, sh).
+    # All fields update through ONE jnp.where: if the predicate chain were
+    # consumed by several selects, XLA may duplicate it per consumer with
+    # different FMA contraction, and an exact edge hit (u or v == 0) can
+    # then update t but not the attributes — observed in practice. A single
+    # select makes the decision atomic.
+    carry = jnp.concatenate(
+        [jnp.full((1,) + shape, _INF), jnp.zeros((8,) + shape)], axis=0
+    )
+
+    a_coef = dx * dx + dy * dy + dz * dz  # d.d (Shape.h:75)
+
+    def upd(carry, t_new, hit, n3, gi):
+        t = carry[0]
+        closer = hit & (t_new < t)
+        nxn, nyn, nzn = n3
+        one = jnp.ones(shape)
+        new = jnp.stack(
+            [
+                t_new,
+                nxn,
+                nyn,
+                nzn,
+                mat[0, gi] * one,
+                mat[1, gi] * one,
+                mat[2, gi] * one,
+                mat[3, gi] * one,
+                mat[4, gi] * one,
+            ]
+        )
+        return jnp.where(closer[None], new, carry)
+
+    def sphere_body(i, carry):
+        cx, cy, cz, r2 = sph[0, i], sph[1, i], sph[2, i], sph[3, i]
+        ocx, ocy, ocz = ox - cx, oy - cy, oz - cz
+        b = 2.0 * (ocx * dx + ocy * dy + ocz * dz)
+        c = ocx * ocx + ocy * ocy + ocz * ocz - r2
+        disc = b * b - 4.0 * a_coef * c
+        ok = disc >= 0.0
+        sq = jnp.sqrt(jnp.where(ok, jnp.maximum(disc, 0.0), 0.0))
+        inv2a = 0.5 / a_coef
+        tt0 = (-b - sq) * inv2a
+        tt1 = (-b + sq) * inv2a
+        t_new = jnp.where(tt0 >= EPS, tt0, tt1)
+        hit = ok & (t_new >= EPS)
+        px = ox + dx * t_new
+        py = oy + dy * t_new
+        pz = oz + dz * t_new
+        gx, gy, gz = px - cx, py - cy, pz - cz
+        g2 = gx * gx + gy * gy + gz * gz
+        inv = jax.lax.rsqrt(jnp.maximum(g2, 1e-24))
+        return upd(carry, t_new, hit, (gx * inv, gy * inv, gz * inv), i)
+
+    def plane_body(i, carry):
+        nx_, ny_, nz_, pn = pl_[0, i], pl_[1, i], pl_[2, i], pl_[3, i]
+        denom = dx * nx_ + dy * ny_ + dz * nz_
+        ok = jnp.abs(denom) > EPS
+        on = ox * nx_ + oy * ny_ + oz * nz_
+        t_new = (pn - on) / jnp.where(ok, denom, 1.0)
+        hit = ok & (t_new >= 0.0)
+        one = jnp.ones_like(ox)
+        return upd(carry, t_new, hit, (nx_ * one, ny_ * one, nz_ * one), ns + i)
+
+    def tri_body(i, carry):
+        v0x, v0y, v0z = tri[0, i], tri[1, i], tri[2, i]
+        e1x, e1y, e1z = tri[3, i], tri[4, i], tri[5, i]
+        e2x, e2y, e2z = tri[6, i], tri[7, i], tri[8, i]
+        nux, nuy, nuz = tri[9, i], tri[10, i], tri[11, i]
+        # h = d x e2
+        hx = dy * e2z - dz * e2y
+        hy = dz * e2x - dx * e2z
+        hz = dx * e2y - dy * e2x
+        a = e1x * hx + e1y * hy + e1z * hz
+        ok = jnp.abs(a) > EPS
+        f = 1.0 / jnp.where(ok, a, 1.0)
+        sx, sy, sz = ox - v0x, oy - v0y, oz - v0z
+        u = f * (sx * hx + sy * hy + sz * hz)
+        qx = sy * e1z - sz * e1y
+        qy = sz * e1x - sx * e1z
+        qz = sx * e1y - sy * e1x
+        v = f * (dx * qx + dy * qy + dz * qz)
+        t_new = f * (e2x * qx + e2y * qy + e2z * qz)
+        hit = (
+            ok
+            & (u >= 0.0)
+            & (u <= 1.0)
+            & (v >= 0.0)
+            & (u + v <= 1.0)
+            & (t_new > EPS)
+        )
+        one = jnp.ones_like(ox)
+        return upd(
+            carry, t_new, hit, (nux * one, nuy * one, nuz * one), ns + np_ + i
+        )
+
+    carry = jax.lax.fori_loop(0, ns, sphere_body, carry)
+    carry = jax.lax.fori_loop(0, np_, plane_body, carry)
+    carry = jax.lax.fori_loop(0, nt, tri_body, carry)
+    return tuple(carry[i] for i in range(9))
+
+
+def _any_hit(sph, pl_, tri, ns, np_, nt, ox, oy, oz, dx, dy, dz, lo, hi):
+    """Binary occlusion: any primitive with lo < t < hi (per lane).
+
+    The accumulator is float32 (1.0 = occluded): Mosaic cannot carry an
+    i1 vector through an scf.for loop (roll_vectors on i1 fails to
+    legalize), so booleans are materialized as 0/1 floats in the carry.
+    """
+    occ0 = jnp.zeros(ox.shape, jnp.float32)
+    a_coef = dx * dx + dy * dy + dz * dz
+
+    def sphere_body(i, occ):
+        cx, cy, cz, r2 = sph[0, i], sph[1, i], sph[2, i], sph[3, i]
+        ocx, ocy, ocz = ox - cx, oy - cy, oz - cz
+        b = 2.0 * (ocx * dx + ocy * dy + ocz * dz)
+        c = ocx * ocx + ocy * ocy + ocz * ocz - r2
+        disc = b * b - 4.0 * a_coef * c
+        ok = disc >= 0.0
+        sq = jnp.sqrt(jnp.where(ok, jnp.maximum(disc, 0.0), 0.0))
+        inv2a = 0.5 / a_coef
+        tt0 = (-b - sq) * inv2a
+        tt1 = (-b + sq) * inv2a
+        t_new = jnp.where(tt0 >= EPS, tt0, tt1)
+        hit = ok & (t_new >= EPS)
+        blocked = hit & (t_new > lo) & (t_new < hi)
+        return jnp.maximum(occ, blocked.astype(jnp.float32))
+
+    def plane_body(i, occ):
+        nx_, ny_, nz_, pn = pl_[0, i], pl_[1, i], pl_[2, i], pl_[3, i]
+        denom = dx * nx_ + dy * ny_ + dz * nz_
+        ok = jnp.abs(denom) > EPS
+        on = ox * nx_ + oy * ny_ + oz * nz_
+        t_new = (pn - on) / jnp.where(ok, denom, 1.0)
+        hit = ok & (t_new >= 0.0)
+        blocked = hit & (t_new > lo) & (t_new < hi)
+        return jnp.maximum(occ, blocked.astype(jnp.float32))
+
+    def tri_body(i, occ):
+        v0x, v0y, v0z = tri[0, i], tri[1, i], tri[2, i]
+        e1x, e1y, e1z = tri[3, i], tri[4, i], tri[5, i]
+        e2x, e2y, e2z = tri[6, i], tri[7, i], tri[8, i]
+        hx = dy * e2z - dz * e2y
+        hy = dz * e2x - dx * e2z
+        hz = dx * e2y - dy * e2x
+        a = e1x * hx + e1y * hy + e1z * hz
+        ok = jnp.abs(a) > EPS
+        f = 1.0 / jnp.where(ok, a, 1.0)
+        sx, sy, sz = ox - v0x, oy - v0y, oz - v0z
+        u = f * (sx * hx + sy * hy + sz * hz)
+        qx = sy * e1z - sz * e1y
+        qy = sz * e1x - sx * e1z
+        qz = sx * e1y - sy * e1x
+        v = f * (dx * qx + dy * qy + dz * qz)
+        t_new = f * (e2x * qx + e2y * qy + e2z * qz)
+        hit = (
+            ok & (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (u + v <= 1.0)
+            & (t_new > EPS)
+        )
+        blocked = hit & (t_new > lo) & (t_new < hi)
+        return jnp.maximum(occ, blocked.astype(jnp.float32))
+
+    occ = jax.lax.fori_loop(0, ns, sphere_body, occ0)
+    occ = jax.lax.fori_loop(0, np_, plane_body, occ)
+    occ = jax.lax.fori_loop(0, nt, tri_body, occ)
+    return occ > 0.0
+
+
+def _make_kernel(ns: int, np_: int, nt: int, nl: int, max_depth: int, bias: float):
+    def kernel(
+        sph_ref, pl_ref, tri_ref, mat_ref, light_ref,
+        ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+        r_ref, g_ref, b_ref,
+    ):
+        sph, pl_, tri, mat, light = (
+            sph_ref, pl_ref, tri_ref, mat_ref, light_ref,
+        )
+        ox0, oy0, oz0 = ox_ref[:], oy_ref[:], oz_ref[:]
+        dx0, dy0, dz0 = dx_ref[:], dy_ref[:], dz_ref[:]
+        shape = ox0.shape
+        zero = jnp.zeros(shape)
+        # Depth loop as fori (not a Python unroll): one body keeps the
+        # Mosaic compile tractable. `live` rides as 0/1 float (i1 vectors
+        # can't be loop-carried).
+        carry0 = (
+            ox0, oy0, oz0, dx0, dy0, dz0,
+            jnp.ones(shape),  # weight
+            jnp.ones(shape),  # live (0/1)
+            zero, zero, zero,  # accum rgb
+        )
+
+        def depth_body(_, carry):
+            ox, oy, oz, dx, dy, dz, weight, live_f, acc_r, acc_g, acc_b = carry
+            live = live_f > 0.0
+            skr, skg, skb = _sky(dx, dy, dz)
+
+            (t, nx, ny, nz, ar, ag, ab, spec, shin) = _closest_hit(
+                sph, pl_, tri, mat, ns, np_, nt, ox, oy, oz, dx, dy, dz
+            )
+            hit = t < _INF
+            miss = live & ~hit
+            acc_r += jnp.where(miss, weight * skr, 0.0)
+            acc_g += jnp.where(miss, weight * skg, 0.0)
+            acc_b += jnp.where(miss, weight * skb, 0.0)
+            shade = live & hit
+
+            # Front-face flip (Scene.h:145-146)
+            ndotd = nx * dx + ny * dy + nz * dz
+            flip = jnp.where(ndotd < 0.0, 1.0, -1.0)
+            nx, ny, nz = nx * flip, ny * flip, nz * flip
+
+            t_safe = jnp.where(hit, t, 0.0)
+            px = ox + dx * t_safe
+            py = oy + dy * t_safe
+            pz = oz + dz * t_safe
+
+            # Direct lighting, binary shadows (Scene.h:79-129)
+            diff_r = jnp.zeros(shape)
+            diff_g = jnp.zeros(shape)
+            diff_b = jnp.zeros(shape)
+            spec_r = jnp.zeros(shape)
+            spec_g = jnp.zeros(shape)
+            spec_b = jnp.zeros(shape)
+            sox = px + nx * bias
+            soy = py + ny * bias
+            soz = pz + nz * bias
+            spec_on = spec > 0.0  # opaque kernel: transparency == 0
+
+            def light_body(li, carry):
+                dr, dg, db, sr, sg, sb = carry
+                lx, ly, lz = light[0, li], light[1, li], light[2, li]
+                er, eg, eb = light[3, li], light[4, li], light[5, li]
+                vx, vy, vz = lx - px, ly - py, lz - pz
+                dist2 = vx * vx + vy * vy + vz * vz
+                dist = jnp.sqrt(jnp.maximum(dist2, 1e-30))
+                inv_d = 1.0 / dist
+                ldx, ldy, ldz = vx * inv_d, vy * inv_d, vz * inv_d
+                ndotl = jnp.maximum(0.0, nx * ldx + ny * ldy + nz * ldz)
+                ok = shade & (dist > bias) & (ndotl > 0.0)
+                occ = _any_hit(
+                    sph, pl_, tri, ns, np_, nt,
+                    sox, soy, soz, ldx, ldy, ldz,
+                    jnp.full(shape, bias), dist - bias,
+                )
+                vis = ok & ~occ
+                inv_d2 = inv_d * inv_d
+                contrib = inv_d2 * ndotl
+                dr += jnp.where(vis, er * contrib, 0.0)
+                dg += jnp.where(vis, eg * contrib, 0.0)
+                db += jnp.where(vis, eb * contrib, 0.0)
+                # Blinn-Phong (Scene.h:115-123)
+                hx_, hy_, hz_ = ldx - dx, ldy - dy, ldz - dz  # l + view
+                h2 = hx_ * hx_ + hy_ * hy_ + hz_ * hz_
+                invh = jax.lax.rsqrt(jnp.maximum(h2, 1e-24))
+                ndoth = jnp.maximum(
+                    0.0, (nx * hx_ + ny * hy_ + nz * hz_) * invh
+                )
+                s_ok = vis & spec_on & (ndoth > 0.0)
+                ndoth_s = jnp.where(s_ok, ndoth, 1.0)
+                sf = jnp.exp(shin * jnp.log(ndoth_s)) * inv_d2
+                sr += jnp.where(s_ok, er * sf, 0.0)
+                sg += jnp.where(s_ok, eg * sf, 0.0)
+                sb += jnp.where(s_ok, eb * sf, 0.0)
+                return dr, dg, db, sr, sg, sb
+
+            (diff_r, diff_g, diff_b, spec_r, spec_g, spec_b) = (
+                jax.lax.fori_loop(
+                    0, nl, light_body,
+                    (diff_r, diff_g, diff_b, spec_r, spec_g, spec_b),
+                )
+            )
+            local_r = ar * diff_r + spec_r * spec
+            local_g = ag * diff_g + spec_g * spec
+            local_b = ab * diff_b + spec_b * spec
+            acc_r += jnp.where(shade, weight * local_r, 0.0)
+            acc_g += jnp.where(shade, weight * local_g, 0.0)
+            acc_b += jnp.where(shade, weight * local_b, 0.0)
+
+            # Reflection chain (Scene.h:189-195); opaque: refl = specular
+            cont = shade & (spec > bias)
+            ddn = dx * nx + dy * ny + dz * nz
+            rx = dx - 2.0 * ddn * nx
+            ry = dy - 2.0 * ddn * ny
+            rz = dz - 2.0 * ddn * nz
+            r2 = rx * rx + ry * ry + rz * rz
+            invr = jax.lax.rsqrt(jnp.maximum(r2, 1e-24))
+            rx, ry, rz = rx * invr, ry * invr, rz * invr
+            ox = jnp.where(cont, px + rx * bias, ox)
+            oy = jnp.where(cont, py + ry * bias, oy)
+            oz = jnp.where(cont, pz + rz * bias, oz)
+            dx = jnp.where(cont, rx, dx)
+            dy = jnp.where(cont, ry, dy)
+            dz = jnp.where(cont, rz, dz)
+            weight = jnp.where(cont, weight * spec, weight)
+            return (
+                ox, oy, oz, dx, dy, dz, weight,
+                cont.astype(jnp.float32), acc_r, acc_g, acc_b,
+            )
+
+        carry = jax.lax.fori_loop(0, max_depth, depth_body, carry0)
+        ox, oy, oz, dx, dy, dz, weight, live_f, acc_r, acc_g, acc_b = carry
+        # Depth exhaustion -> sky (Scene.h:132-134)
+        live = live_f > 0.0
+        skr, skg, skb = _sky(dx, dy, dz)
+        acc_r += jnp.where(live, weight * skr, 0.0)
+        acc_g += jnp.where(live, weight * skg, 0.0)
+        acc_b += jnp.where(live, weight * skb, 0.0)
+
+        r_ref[:] = acc_r
+        g_ref[:] = acc_g
+        b_ref[:] = acc_b
+
+    return kernel
+
+
+def pack_scene_tables(flat: FlatScene):
+    """FlatScene -> SMEM tables (degenerate values in padded slots)."""
+    dt = jnp.float32
+    s_act = flat.sph_active
+    sph = jnp.stack(
+        [
+            jnp.where(s_act, flat.sph_centers[:, 0], 0.0),
+            jnp.where(s_act, flat.sph_centers[:, 1], 0.0),
+            jnp.where(s_act, flat.sph_centers[:, 2], 0.0),
+            jnp.where(s_act, flat.sph_radii**2, -1.0),  # disc<0 => miss
+        ]
+    ).astype(dt) if flat.n_spheres else jnp.zeros((4, 1), dt)
+
+    p_act = flat.pl_active
+    pn = jnp.sum(flat.pl_points * flat.pl_normals, axis=1)
+    pl_ = jnp.stack(
+        [
+            jnp.where(p_act, flat.pl_normals[:, 0], 0.0),  # n=0 => miss
+            jnp.where(p_act, flat.pl_normals[:, 1], 0.0),
+            jnp.where(p_act, flat.pl_normals[:, 2], 0.0),
+            jnp.where(p_act, pn, 0.0),
+        ]
+    ).astype(dt) if flat.n_planes else jnp.zeros((4, 1), dt)
+
+    t_act = flat.tri_active
+    def m(v, col):
+        return jnp.where(t_act, v[:, col], 0.0)
+    tri = jnp.stack(
+        [
+            m(flat.tri_v0, 0), m(flat.tri_v0, 1), m(flat.tri_v0, 2),
+            m(flat.tri_e1, 0), m(flat.tri_e1, 1), m(flat.tri_e1, 2),  # e1,e2=0 => a=0 => miss
+            m(flat.tri_e2, 0), m(flat.tri_e2, 1), m(flat.tri_e2, 2),
+            m(flat.tri_nunit, 0), m(flat.tri_nunit, 1), m(flat.tri_nunit, 2),
+        ]
+    ).astype(dt) if flat.n_triangles else jnp.zeros((12, 1), dt)
+
+    mat = jnp.stack(
+        [
+            flat.albedo[:, 0], flat.albedo[:, 1], flat.albedo[:, 2],
+            flat.specular, flat.shininess,
+        ]
+    ).astype(dt) if flat.n_primitives else jnp.zeros((5, 1), dt)
+
+    l_act = flat.light_active
+    emit = flat.light_colors * flat.light_intensities[:, None]
+    far = 1.0e7
+    light = jnp.stack(
+        [
+            jnp.where(l_act, flat.light_positions[:, 0], far),
+            jnp.where(l_act, flat.light_positions[:, 1], far),
+            jnp.where(l_act, flat.light_positions[:, 2], far),
+            jnp.where(l_act, emit[:, 0], 0.0),
+            jnp.where(l_act, emit[:, 1], 0.0),
+            jnp.where(l_act, emit[:, 2], 0.0),
+        ]
+    ).astype(dt) if flat.n_lights else jnp.zeros((6, 1), dt)
+    return sph, pl_, tri, mat, light
+
+
+def chain_trace_pallas(
+    flat: FlatScene, o: jnp.ndarray, d: jnp.ndarray, cfg
+) -> jnp.ndarray:
+    """Forward fused trace: [R,3] origins/dirs -> [R,3] HDR radiance."""
+    r = o.shape[0]
+    n_tiles = -(-r // TILE)
+    pad = n_tiles * TILE - r
+
+    def shape_ray(x):
+        x = jnp.pad(x, (0, pad))
+        return x.reshape(n_tiles * SUB, LANE).astype(jnp.float32)
+
+    ox, oy, oz = (shape_ray(o[:, i]) for i in range(3))
+    dx, dy, dz = (shape_ray(d[:, i]) for i in range(3))
+
+    sph, pl_, tri, mat, light = pack_scene_tables(flat)
+    kernel = _make_kernel(
+        flat.n_spheres, flat.n_planes, flat.n_triangles, flat.n_lights,
+        cfg.max_depth, cfg.bias,
+    )
+
+    smem = lambda t: pl.BlockSpec(
+        t.shape, lambda i: tuple(0 for _ in t.shape), memory_space=pltpu.SMEM
+    )
+    ray_spec = pl.BlockSpec((SUB, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[smem(sph), smem(pl_), smem(tri), smem(mat), smem(light)]
+        + [ray_spec] * 6,
+        out_specs=(ray_spec, ray_spec, ray_spec),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((n_tiles * SUB, LANE), jnp.float32)
+            for _ in range(3)
+        ),
+    )(sph, pl_, tri, mat, light, ox, oy, oz, dx, dy, dz)
+
+    rgb = jnp.stack([c.reshape(-1)[:r] for c in out], axis=-1)
+    return rgb.astype(o.dtype)
+
+
+#: Primitive-count ceiling for the SMEM-resident scan (beyond this the
+#: XLA path takes over).
+MAX_PRIMS = 512
+
+
+def pallas_applicable(flat: FlatScene, cfg, mode: str) -> bool:
+    return (
+        mode == "chain"
+        and cfg.shadow_mode == "binary"
+        and flat.n_primitives <= MAX_PRIMS
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def chain_trace(flat: FlatScene, o: jnp.ndarray, d: jnp.ndarray, cfg):
+    """Differentiable fused trace: Pallas kernel for the primal, XLA
+    autodiff of the (numerically matching) chain integrator for the
+    backward pass — the standard primal-kernel + reference-VJP pattern."""
+    return chain_trace_pallas(flat, o, d, cfg)
+
+
+def _chain_trace_fwd(flat, o, d, cfg):
+    return chain_trace_pallas(flat, o, d, cfg), (flat, o, d)
+
+
+def _chain_trace_bwd(cfg, res, g):
+    from raytracingengine_tpu.render.integrator import integrate_chain
+
+    flat, o, d = res
+    _, vjp = jax.vjp(lambda fl, oo, dd: integrate_chain(fl, oo, dd, cfg), flat, o, d)
+    return vjp(g)
+
+
+chain_trace.defvjp(_chain_trace_fwd, _chain_trace_bwd)

@@ -50,6 +50,10 @@ class RenderConfig:
     differentiable: bool = False
     #: Rays processed per inner block (memory/VMEM knob).
     chunk_size: int = 16384
+    #: Use the fused Pallas chain-trace kernel (kernels/chain_trace.py)
+    #: when applicable (chain mode + binary shadows + SMEM-sized scene);
+    #: silently falls back to the XLA integrator otherwise.
+    use_pallas: bool = False
 
     def budget(self) -> int:
         if self.wavefront_budget is not None:

@@ -56,7 +56,18 @@ def _render_chunk(
     chunk_key: jnp.ndarray,
     prim_axis: str | None = None,
 ) -> jnp.ndarray:
-    integrate = integrate_chain if mode == "chain" else integrate_wavefront
+    if cfg.use_pallas and prim_axis is None:
+        from raytracingengine_tpu.kernels.chain_trace import (
+            chain_trace,
+            pallas_applicable,
+        )
+
+        if pallas_applicable(flat, cfg, mode):
+            integrate = lambda fl, o, d, c, _pa=None: chain_trace(fl, o, d, c)
+        else:
+            integrate = integrate_chain if mode == "chain" else integrate_wavefront
+    else:
+        integrate = integrate_chain if mode == "chain" else integrate_wavefront
     o0, d0 = camera.rays_for_pixels(px, py, None)  # sample 0: center ray
     acc = integrate(flat, o0, d0, cfg, prim_axis)
     if camera.spp > 1:

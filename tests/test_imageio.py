@@ -85,6 +85,50 @@ def test_obj_loader_mtl(tmp_path):
         "usemtl blue\nf 1 2 3\n"
     )
     data = load_obj(str(p))
-    assert data["material_names"] == ["red", "blue"]
-    assert data["face_materials"].tolist() == [1]
-    assert data["materials"][1]["Kd"] == (0.0, 0.0, 1.0)
+    # material_names = usemtl first-seen order; properties resolved
+    # from the mtllib
+    assert data["material_names"] == ["blue"]
+    assert data["face_materials"].tolist() == [0]
+    assert data["materials"][0]["Kd"] == (0.0, 0.0, 1.0)
+
+
+def test_native_backend_matches_python(tmp_path):
+    from raytracingengine_tpu import native_bridge
+
+    if not native_bridge.available():
+        import pytest
+
+        pytest.skip("native library not built")
+    p = tmp_path / "box.obj"
+    p.write_text(
+        "v 0 0 0\nv 1 0 0\nv 1 1 0\nv 0 1 0\n"
+        "usemtl a\nf 1 2 3 4\nusemtl b\nf -4 -3 -2\n"
+    )
+    a = load_obj(str(p), backend="python")
+    b = load_obj(str(p), backend="native")
+    np.testing.assert_allclose(a["vertices"], b["vertices"])
+    np.testing.assert_array_equal(a["indices"], b["indices"])
+    np.testing.assert_array_equal(a["face_materials"], b["face_materials"])
+    assert a["material_names"] == b["material_names"]
+
+
+def test_native_ppm_png_match_python(tmp_path):
+    from raytracingengine_tpu import native_bridge
+    from raytracingengine_tpu.imageio.png import png_bytes
+
+    if not native_bridge.available():
+        import pytest
+
+        pytest.skip("native library not built")
+    rng = np.random.default_rng(2)
+    img = rng.integers(0, 256, (9, 13, 3), dtype=np.uint8)
+    p1, p2 = tmp_path / "a.ppm", tmp_path / "b.ppm"
+    write_ppm(str(p1), img, backend="python")
+    native_bridge.write_ppm_native(str(p2), img)
+    assert p1.read_bytes() == p2.read_bytes()
+    # PNGs decode to identical pixels (compressed bytes may differ)
+    from raytracingengine_tpu.imageio.png import read_png
+
+    n = tmp_path / "n.png"
+    n.write_bytes(native_bridge.png_bytes_native(img))
+    np.testing.assert_array_equal(read_png(str(n)), img)

@@ -1,0 +1,100 @@
+"""Fused Pallas chain-trace kernel: parity with the XLA integrator.
+
+Runs in interpreter mode on CPU (tests/conftest.py backend); the real
+Mosaic-compiled path is exercised by bench.py on TPU hardware.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental import pallas as pl
+
+import raytracingengine_tpu.kernels.chain_trace as ct
+from raytracingengine_tpu.geometry.intersect import flatten_scene
+from raytracingengine_tpu.render.config import RenderConfig
+from raytracingengine_tpu.render.integrator import integrate_chain
+from raytracingengine_tpu.scenes.builders import (
+    baseline_sphere_scene,
+    head_box_scene,
+    stress_scene,
+)
+
+
+@pytest.fixture(autouse=True)
+def _interpret_mode(monkeypatch):
+    orig = pl.pallas_call
+
+    def patched(*a, **k):
+        k.setdefault("interpret", True)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(pl, "pallas_call", patched)
+    monkeypatch.setattr(ct.pl, "pallas_call", patched)
+    yield
+
+
+CFG = RenderConfig(shadow_mode="binary")
+
+
+def _parity(scene, camera, cfg=CFG, atol=1e-4):
+    flat = flatten_scene(scene)
+    o, d = camera.rays_for_pixels(*camera.pixel_grid())
+    ref = integrate_chain(flat, o, d, cfg)
+    out = ct.chain_trace_pallas(flat, o, d, cfg)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=atol)
+
+
+def test_head_box_parity():
+    scene, camera = head_box_scene(width=24, height=24, spp=1)
+    _parity(scene, camera)
+
+
+def test_sphere_scene_parity():
+    scene, camera = baseline_sphere_scene(width=24, height=24, spp=1, n_lights=3)
+    _parity(scene, camera)
+
+
+def test_stress_slice_parity():
+    scene, camera = stress_scene(
+        n_spheres=16, n_lights=2, width=16, height=16, pad_multiple=8
+    )
+    _parity(scene, camera)
+
+
+def test_depth_variants():
+    scene, camera = head_box_scene(width=16, height=16, spp=1)
+    for depth in (0, 1, 3):
+        cfg = RenderConfig(shadow_mode="binary", max_depth=depth)
+        _parity(scene, camera, cfg)
+
+
+def test_custom_vjp_grads_match_xla():
+    scene, camera = baseline_sphere_scene(width=12, height=12, spp=1)
+    flat = flatten_scene(scene)
+    o, d = camera.rays_for_pixels(*camera.pixel_grid())
+
+    def loss_k(fl):
+        return jnp.sum(ct.chain_trace(fl, o, d, CFG) ** 2)
+
+    def loss_x(fl):
+        return jnp.sum(integrate_chain(fl, o, d, CFG) ** 2)
+
+    gk = jax.grad(loss_k, allow_int=True)(flat)
+    gx = jax.grad(loss_x, allow_int=True)(flat)
+    for a, b in zip(jax.tree.leaves(gk), jax.tree.leaves(gx)):
+        a, b = np.asarray(a), np.asarray(b)
+        if not np.issubdtype(a.dtype, np.floating):
+            continue
+        np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-4)
+
+
+def test_pipeline_use_pallas_flag():
+    from raytracingengine_tpu.render.pipeline import render_hdr
+
+    scene, camera = baseline_sphere_scene(width=16, height=16, spp=1)
+    cfg_x = RenderConfig(shadow_mode="binary", chunk_size=256)
+    cfg_p = RenderConfig(shadow_mode="binary", chunk_size=256, use_pallas=True)
+    a = render_hdr(scene, camera, cfg_x)
+    b = render_hdr(scene, camera, cfg_p)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
