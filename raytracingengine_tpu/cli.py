@@ -127,6 +127,62 @@ def cmd_aov(args) -> int:
     return 0
 
 
+def cmd_fit(args) -> int:
+    """Inverse-rendering demo (BASELINE config #4): perturb the scene's
+    sphere albedos, recover them by Adam on pixel L2 loss, report the
+    loss curve and write target / initial / fitted renders."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from raytracingengine_tpu.inverse import fit, masked_optimizer, partition
+    from raytracingengine_tpu.inverse.params import select
+    from raytracingengine_tpu.render.config import RenderConfig
+    from raytracingengine_tpu.render.pipeline import render_hdr
+    from raytracingengine_tpu.tonemap import aces_approx, to_uint8
+    from raytracingengine_tpu.utils.metrics import MetricsLogger, fit_callback
+    from raytracingengine_tpu.utils.tpu import setup_compile_cache
+
+    setup_compile_cache()
+    scene_true, camera = _build_scene(args)
+    cfg = RenderConfig(shadow_mode="binary", chunk_size=args.width * args.height)
+    render = jax.jit(lambda s: render_hdr(s, camera, cfg))
+    target = render(scene_true)
+
+    sph = scene_true.spheres
+    mats = dataclasses.replace(
+        sph.materials,
+        color=jnp.clip(sph.materials.color + args.perturb, 0.0, 1.0),
+    )
+    scene0 = dataclasses.replace(
+        scene_true, spheres=dataclasses.replace(sph, materials=mats)
+    )
+
+    params0, _ = partition(scene0)
+    mask = select(params0, ["spheres.materials.color"])
+    opt = masked_optimizer(optax.adam(args.lr), mask)
+    logger = MetricsLogger()
+    fitted, losses = fit(
+        scene0, camera, cfg, target, steps=args.steps, optimizer=opt,
+        callback=fit_callback(logger),
+    )
+    print(f"fit: loss {losses[0]:.6f} -> {losses[-1]:.6f} in {args.steps} steps")
+
+    os.makedirs(args.out, exist_ok=True)
+    for name, scn in [("target", scene_true), ("initial", scene0), ("fitted", fitted)]:
+        img = np.asarray(to_uint8(aces_approx(render(scn))))
+        print(f"wrote {_save(img, os.path.join(args.out, name), args.format)}")
+    if args.checkpoint:
+        from raytracingengine_tpu.inverse.checkpoint import save_checkpoint
+
+        p, _ = partition(fitted)
+        save_checkpoint(args.checkpoint, p, opt.init(p), step=args.steps)
+        print(f"checkpoint saved to {args.checkpoint}")
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="raytracingengine_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -155,6 +211,18 @@ def main(argv=None) -> int:
     a = sub.add_parser("aov", help="depth/normal/albedo/hit maps")
     common(a)
     a.set_defaults(fn=cmd_aov)
+
+    f = sub.add_parser(
+        "fit", help="inverse rendering demo: recover perturbed scene params"
+    )
+    common(f)
+    f.add_argument("--steps", type=int, default=150)
+    f.add_argument("--lr", type=float, default=2e-2)
+    f.add_argument("--perturb", type=float, default=0.15,
+                   help="albedo perturbation magnitude")
+    f.add_argument("--checkpoint", default=None,
+                   help="orbax checkpoint dir (saved at the end)")
+    f.set_defaults(fn=cmd_fit)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -46,8 +46,15 @@ FAMILY_TRIANGLE = 2
 
 
 def _contract(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """[R,3] x [N,3] -> [R,N] with full fp32 accuracy on the MXU."""
-    return jnp.einsum("rc,nc->rn", a, b, precision=jax.lax.Precision.HIGHEST)
+    """[N,3] x [R,3] -> [N,R] with full fp32 accuracy.
+
+    Layout note: all-pairs distance matrices are [prims, rays] — rays on
+    the fast (lane) axis. With the primitive count on lanes, a 17-prim
+    scene pads to 128 lanes and every elementwise op in the intersection
+    chain moves 7.5x more HBM bytes than needed; rays-on-lanes packs
+    fully (ray counts are lane-multiples).
+    """
+    return jnp.einsum("nc,rc->nr", a, b, precision=jax.lax.Precision.HIGHEST)
 
 
 @partial(
@@ -186,18 +193,18 @@ def flatten_scene(scene) -> FlatScene:
 
 
 def intersect_spheres(flat: FlatScene, o: jnp.ndarray, d: jnp.ndarray) -> jnp.ndarray:
-    """Analytic quadratic test (Shape.h:72-98) for all pairs -> t [R,S],
+    """Analytic quadratic test (Shape.h:72-98) for all pairs -> t [S,R],
     +inf on miss. Prefers the near root t0 when t0 >= eps, else t1."""
     if flat.n_spheres == 0:
-        return jnp.full((o.shape[0], 0), jnp.inf, o.dtype)
+        return jnp.full((0, o.shape[0]), jnp.inf, o.dtype)
     inf = jnp.asarray(jnp.inf, o.dtype)
-    a = vm.dot(d, d)[:, None]  # [R,1] (1.0 for unit dirs; kept general)
-    od = vm.dot(o, d)[:, None]
-    b = 2.0 * (od - _contract(d, flat.sph_centers))  # 2 (o-c).d
+    a = vm.dot(d, d)[None, :]  # [1,R] (1.0 for unit dirs; kept general)
+    od = vm.dot(o, d)[None, :]
+    b = 2.0 * (od - _contract(flat.sph_centers, d))  # 2 (o-c).d
     cc = (
-        vm.dot(o, o)[:, None]
-        - 2.0 * _contract(o, flat.sph_centers)
-        + (vm.dot(flat.sph_centers, flat.sph_centers) - flat.sph_radii**2)[None, :]
+        vm.dot(o, o)[None, :]
+        - 2.0 * _contract(flat.sph_centers, o)
+        + (vm.dot(flat.sph_centers, flat.sph_centers) - flat.sph_radii**2)[:, None]
     )  # |o-c|^2 - r^2
     disc = b * b - 4.0 * a * cc
     disc_ok = disc >= 0.0
@@ -208,37 +215,37 @@ def intersect_spheres(flat: FlatScene, o: jnp.ndarray, d: jnp.ndarray) -> jnp.nd
     t0 = (-b - sq) * inv2a
     t1 = (-b + sq) * inv2a
     t = jnp.where(t0 >= EPS, t0, t1)
-    hit = disc_ok & (t >= EPS) & flat.sph_active[None, :]
+    hit = disc_ok & (t >= EPS) & flat.sph_active[:, None]
     return jnp.where(hit, t, inf)
 
 
 def intersect_planes(flat: FlatScene, o: jnp.ndarray, d: jnp.ndarray) -> jnp.ndarray:
-    """Point-normal plane test (Shape.h:149-159) -> t [R,P], +inf on miss.
+    """Point-normal plane test (Shape.h:149-159) -> t [P,R], +inf on miss.
     Requires |d.n| > 1e-6 and t >= 0 (note: >= 0, not >= eps)."""
     if flat.n_planes == 0:
-        return jnp.full((o.shape[0], 0), jnp.inf, o.dtype)
+        return jnp.full((0, o.shape[0]), jnp.inf, o.dtype)
     inf = jnp.asarray(jnp.inf, o.dtype)
-    denom = _contract(d, flat.pl_normals)  # [R,P]
-    pn = vm.dot(flat.pl_points, flat.pl_normals)[None, :]  # p0 . n
-    on = _contract(o, flat.pl_normals)
+    denom = _contract(flat.pl_normals, d)  # [P,R]
+    pn = vm.dot(flat.pl_points, flat.pl_normals)[:, None]  # p0 . n
+    on = _contract(flat.pl_normals, o)
     denom_ok = jnp.abs(denom) > EPS
     safe = jnp.where(denom_ok, denom, 1.0)
     t = (pn - on) / safe
-    hit = denom_ok & (t >= 0.0) & flat.pl_active[None, :]
+    hit = denom_ok & (t >= 0.0) & flat.pl_active[:, None]
     return jnp.where(hit, t, inf)
 
 
 def intersect_triangles(flat: FlatScene, o: jnp.ndarray, d: jnp.ndarray) -> jnp.ndarray:
     """Möller–Trumbore (Shape.h:202-220) in triple-product/matmul form ->
-    t [R,T], +inf on miss."""
+    t [T,R], +inf on miss."""
     if flat.n_triangles == 0:
-        return jnp.full((o.shape[0], 0), jnp.inf, o.dtype)
+        return jnp.full((0, o.shape[0]), jnp.inf, o.dtype)
     inf = jnp.asarray(jnp.inf, o.dtype)
     m = vm.cross(o, d)  # [R,3]
-    a = -_contract(d, flat.tri_ngeo)  # e1.(d x e2)
-    sh = _contract(m, flat.tri_e2) - _contract(d, flat.tri_c2)  # s.h
-    dq = _contract(d, flat.tri_c1) - _contract(m, flat.tri_e1)  # d.q
-    tk = _contract(o, flat.tri_ngeo) - flat.tri_k[None, :]  # e2.q
+    a = -_contract(flat.tri_ngeo, d)  # e1.(d x e2)
+    sh = _contract(flat.tri_e2, m) - _contract(flat.tri_c2, d)  # s.h
+    dq = _contract(flat.tri_c1, d) - _contract(flat.tri_e1, m)  # d.q
+    tk = _contract(flat.tri_ngeo, o) - flat.tri_k[:, None]  # e2.q
     a_ok = jnp.abs(a) > EPS
     f = 1.0 / jnp.where(a_ok, a, 1.0)
     u = f * sh
@@ -251,7 +258,7 @@ def intersect_triangles(flat: FlatScene, o: jnp.ndarray, d: jnp.ndarray) -> jnp.
         & (v >= 0.0)
         & (u + v <= 1.0)
         & (t > EPS)
-        & flat.tri_active[None, :]
+        & flat.tri_active[:, None]
     )
     return jnp.where(hit, t, inf)
 
@@ -299,14 +306,15 @@ class Hit:
 
 
 def all_distances(flat: FlatScene, o: jnp.ndarray, d: jnp.ndarray) -> jnp.ndarray:
-    """[R, S+P+T] distances, +inf on miss, in the reference's scan order."""
+    """[S+P+T, R] distances, +inf on miss, in the reference's scan order
+    (prims on the leading axis; rays on lanes — see _contract)."""
     return jnp.concatenate(
         [
             intersect_spheres(flat, o, d),
             intersect_planes(flat, o, d),
             intersect_triangles(flat, o, d),
         ],
-        axis=1,
+        axis=0,
     )
 
 
@@ -391,9 +399,9 @@ def _closest_hit_local(flat: FlatScene, o: jnp.ndarray, d: jnp.ndarray) -> Hit:
             index=jnp.zeros((r,), jnp.int32),
         )
 
-    t_all = all_distances(flat, o, d)  # [R,N]
-    j = jnp.argmin(t_all, axis=1)  # first-minimum == reference tie-break
-    t = jnp.take_along_axis(t_all, j[:, None], axis=1)[:, 0]
+    t_all = all_distances(flat, o, d)  # [N,R]
+    j = jnp.argmin(t_all, axis=0)  # first-minimum == reference tie-break
+    t = jnp.take_along_axis(t_all, j[None, :], axis=0)[0]
     valid = jnp.isfinite(t)
 
     s, p = flat.n_spheres, flat.n_planes
@@ -439,7 +447,7 @@ def any_hit_before(
     verdicts across the mesh axis.
     """
     t_all = all_distances(flat, o, d)
-    occluded = jnp.any((t_all > 0.0) & (t_all < max_dist[:, None]), axis=1)
+    occluded = jnp.any((t_all > 0.0) & (t_all < max_dist[None, :]), axis=0)
     if prim_axis is not None:
         occluded = jax.lax.pmax(occluded.astype(jnp.int32), prim_axis) > 0
     return occluded

@@ -127,9 +127,9 @@ def transmittance_binary(
     """
     from raytracingengine_tpu.geometry.intersect import all_distances
 
-    t_all = all_distances(flat, origin, direction)
+    t_all = all_distances(flat, origin, direction)  # [N,B]
     occluded = jnp.any(
-        (t_all > cfg.bias) & (t_all < max_dist[:, None]), axis=1
+        (t_all > cfg.bias) & (t_all < max_dist[None, :]), axis=0
     )
     if prim_axis is not None:
         occluded = jax.lax.pmax(occluded.astype(jnp.int32), prim_axis) > 0
@@ -180,8 +180,8 @@ def visibility_soft(
 
         t_pl = intersect_planes(flat, origin, direction)
         t_tr = intersect_triangles(flat, origin, direction)
-        t_all = jnp.concatenate([t_pl, t_tr], axis=1)
-        blocked = jnp.any((t_all > 0.0) & (t_all < max_dist[:, None]), axis=1)
+        t_all = jnp.concatenate([t_pl, t_tr], axis=0)  # [P+T, B]
+        blocked = jnp.any((t_all > 0.0) & (t_all < max_dist[None, :]), axis=0)
         if prim_axis is not None:
             blocked = jax.lax.pmax(blocked.astype(jnp.int32), prim_axis) > 0
         v = v * jax.lax.stop_gradient(jnp.where(blocked, 0.0, 1.0))
@@ -211,54 +211,57 @@ def direct_light(
     if n_l == 0:
         return jnp.zeros((r, 3), hit.point.dtype)
 
-    vec = flat.light_positions[None, :, :] - hit.point[:, None, :]  # [R,L,3]
-    # sqrt on the squared distance with the zero case masked: norm's VJP is
-    # v/|v|, which is NaN at v = 0 even under a zero cotangent.
-    dist2 = jnp.sum(vec * vec, axis=-1)
-    dist_pos = dist2 > 0.0
-    dist = jnp.sqrt(jnp.where(dist_pos, dist2, 1.0))
-    dist = jnp.where(dist_pos, dist, 0.0)
-    dist_safe = jnp.where(dist > 0.0, dist, 1.0)
-    ldir = vec / dist_safe[..., None]
-    ndotl = jnp.maximum(0.0, jnp.sum(normal[:, None, :] * ldir, axis=-1))
-    ok0 = (
-        active[:, None]
-        & flat.light_active[None, :]
-        & (dist > 0.0)
-        & (ndotl > 0.0)
-        & (dist > bias)
-    )
-
+    # Static unroll over lights: every intermediate stays [R]-shaped with
+    # rays on lanes (an [R, L] layout would put the tiny light axis on
+    # lanes and waste 128/L of the VPU/HBM).
     shadow_o = hit.point + normal * bias  # [R,3]
-    flat_o = jnp.broadcast_to(shadow_o[:, None, :], (r, n_l, 3)).reshape(-1, 3)
-    flat_d = ldir.reshape(-1, 3)
-    flat_max = (dist - bias).reshape(-1)
-    if cfg.shadow_mode == "soft":
-        T = visibility_soft(
-            flat, flat_o, flat_d, flat_max, cfg, prim_axis
-        ).reshape(r, n_l)
-    elif cfg.shadow_mode == "binary":
-        T = transmittance_binary(
-            flat, flat_o, flat_d, flat_max, cfg, prim_axis
-        ).reshape(r, n_l)
-    else:
-        T = transmittance_hard(
-            flat, flat_o, flat_d, flat_max, ok0.reshape(-1), cfg, prim_axis
-        ).reshape(r, n_l)
-    ok = ok0 & (T > bias)
-
-    emitted = flat.light_colors * flat.light_intensities[:, None]  # [L,3]
-    inv_d2 = 1.0 / (dist_safe * dist_safe)
-    diff_term = emitted[None, :, :] * (inv_d2 * ndotl * T)[..., None]
-    diffuse = jnp.sum(jnp.where(ok[..., None], diff_term, 0.0), axis=1)  # [R,3]
-
     spec_enabled = (hit.transparency <= 0.0) & (hit.specular > 0.0)  # [R]
-    half = vm.normalize(ldir + view_dir[:, None, :])
-    ndoth = jnp.maximum(0.0, jnp.sum(normal[:, None, :] * half, axis=-1))
-    spec_ok = ok & (ndoth > 0.0) & spec_enabled[:, None]
-    ndoth_safe = jnp.where(spec_ok, ndoth, 1.0)  # keep pow-grad NaN-free
-    spec_factor = ndoth_safe ** hit.shininess[:, None]
-    spec_term = emitted[None, :, :] * (inv_d2 * spec_factor * T)[..., None]
-    spec = jnp.sum(jnp.where(spec_ok[..., None], spec_term, 0.0), axis=1)
+    diffuse = jnp.zeros((r, 3), hit.point.dtype)
+    spec = jnp.zeros((r, 3), hit.point.dtype)
+
+    for li in range(n_l):
+        vec = flat.light_positions[li][None, :] - hit.point  # [R,3]
+        # sqrt on the squared distance with the zero case masked: norm's
+        # VJP is v/|v|, NaN at v = 0 even under a zero cotangent.
+        dist2 = jnp.sum(vec * vec, axis=-1)
+        dist_pos = dist2 > 0.0
+        dist = jnp.sqrt(jnp.where(dist_pos, dist2, 1.0))
+        dist = jnp.where(dist_pos, dist, 0.0)
+        dist_safe = jnp.where(dist > 0.0, dist, 1.0)
+        ldir = vec / dist_safe[:, None]
+        ndotl = jnp.maximum(0.0, vm.dot(normal, ldir))
+        ok0 = (
+            active
+            & flat.light_active[li]
+            & (dist > 0.0)
+            & (ndotl > 0.0)
+            & (dist > bias)
+        )
+
+        max_dist = dist - bias
+        if cfg.shadow_mode == "soft":
+            T = visibility_soft(flat, shadow_o, ldir, max_dist, cfg, prim_axis)
+        elif cfg.shadow_mode == "binary":
+            T = transmittance_binary(
+                flat, shadow_o, ldir, max_dist, cfg, prim_axis
+            )
+        else:
+            T = transmittance_hard(
+                flat, shadow_o, ldir, max_dist, ok0, cfg, prim_axis
+            )
+        ok = ok0 & (T > bias)
+
+        emitted = flat.light_colors[li] * flat.light_intensities[li]  # [3]
+        inv_d2 = 1.0 / (dist_safe * dist_safe)
+        contrib = (inv_d2 * ndotl * T)[:, None] * emitted[None, :]
+        diffuse = diffuse + jnp.where(ok[:, None], contrib, 0.0)
+
+        half = vm.normalize(ldir + view_dir)
+        ndoth = jnp.maximum(0.0, vm.dot(normal, half))
+        spec_ok = ok & (ndoth > 0.0) & spec_enabled
+        ndoth_safe = jnp.where(spec_ok, ndoth, 1.0)  # keep pow-grad NaN-free
+        spec_factor = ndoth_safe**hit.shininess
+        spec_term = (inv_d2 * spec_factor * T)[:, None] * emitted[None, :]
+        spec = spec + jnp.where(spec_ok[:, None], spec_term, 0.0)
 
     return hit.albedo * diffuse + spec * hit.specular[:, None]

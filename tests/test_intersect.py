@@ -142,5 +142,5 @@ def test_all_distances_order():
     flat = flatten_scene(scene)
     o, d = _random_rays(16, seed=5)
     t = all_distances(flat, o, d)
-    assert t.shape == (16, flat.n_primitives)
+    assert t.shape == (flat.n_primitives, 16)
     assert flat.n_spheres == 2 and flat.n_planes == 1 and flat.n_triangles == 1
