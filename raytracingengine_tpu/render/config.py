@@ -43,6 +43,10 @@ class RenderConfig:
     shadow_mode: str = "march"
     #: Soft-shadow smoothing width (world units).
     soft_sigma: float = 0.05
+    #: Differentiable sphere silhouettes on the primary bounce
+    #: (render/soft_primary.py): coverage-blended edges so image loss has
+    #: usable gradients w.r.t. sphere centers/radii. Chain mode only.
+    soft_primary: bool = False
     #: Replace while_loops (shadow march, wavefront) with fixed-trip scans
     #: so reverse-mode autodiff works. Costs the full trip count every
     #: call — prefer shadow_mode='binary'/'soft' plus the chain integrator

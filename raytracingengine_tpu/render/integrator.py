@@ -46,6 +46,11 @@ def _shade_node(flat, o, d, active, cfg, prim_axis=None):
     Returns a dict of per-lane tensors; callers combine them per-integrator.
     """
     hit = closest_hit(flat, o, d, prim_axis)
+    return _shade_from_hit(flat, hit, d, active, cfg, prim_axis)
+
+
+def _shade_from_hit(flat, hit, d, active, cfg, prim_axis=None):
+    """Shading/child-ray computation for an already-computed hit record."""
     miss = active & ~hit.valid
     shade = active & hit.valid
 
@@ -115,6 +120,13 @@ def integrate_chain(
     accum0 = jnp.zeros((r, 3), dtype)
     w0 = jnp.ones((r,), dtype)
     live0 = jnp.ones((r,), jnp.bool_)
+    return _chain_scan(
+        flat, o, d, w0, live0, accum0, 0, cfg, prim_axis
+    )
+
+
+def _chain_scan(flat, o, d, w0, live0, accum0, start_depth, cfg, prim_axis):
+    """The reflection-chain depth scan from an arbitrary starting state."""
 
     def body(carry, depth):
         o_c, d_c, w, live, accum = carry
@@ -139,7 +151,7 @@ def integrate_chain(
     (_, _, _, _, accum), _ = jax.lax.scan(
         body,
         (o, d, w0, live0, accum0),
-        jnp.arange(cfg.max_depth + 1),
+        jnp.arange(start_depth, cfg.max_depth + 1),
     )
     return accum
 

@@ -42,6 +42,10 @@ def render_rays(
     """Trace an arbitrary ray block [R,3]x[R,3] -> HDR [R,3]."""
     flat = flatten_scene(scene)
     m = mode or resolve_mode(scene, cfg)
+    if cfg.soft_primary and m == "chain":
+        from raytracingengine_tpu.render.soft_primary import integrate_chain_soft
+
+        return integrate_chain_soft(flat, o, d, cfg)
     fn = integrate_chain if m == "chain" else integrate_wavefront
     return fn(flat, o, d, cfg)
 
@@ -56,7 +60,11 @@ def _render_chunk(
     chunk_key: jnp.ndarray,
     prim_axis: str | None = None,
 ) -> jnp.ndarray:
-    if cfg.use_pallas and prim_axis is None:
+    if cfg.soft_primary and mode == "chain":
+        from raytracingengine_tpu.render.soft_primary import integrate_chain_soft
+
+        integrate = integrate_chain_soft
+    elif cfg.use_pallas and prim_axis is None:
         from raytracingengine_tpu.kernels.chain_trace import (
             chain_trace,
             pallas_applicable,
