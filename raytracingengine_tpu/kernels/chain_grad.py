@@ -1,0 +1,480 @@
+"""Fused backward pass for the chain trace: gradients at kernel speed.
+
+The forward fused kernel (chain_trace.py) made rendering ~100x faster
+than the XLA pipeline; this module does the same for the *training* pass.
+Strategy — checkpointed adjoint inside one Pallas kernel:
+
+  * the scene lives as small VMEM tables (same packing as the forward
+    kernel's SMEM tables, but VMEM so whole-table loads are traced
+    values autodiff can pull back through),
+  * a per-bounce function `_bounce` (python-unrolled over primitives and
+    lights, [8,128]-tile math identical to the forward kernel) maps
+    (ray state, tables) -> (next state, rgb contribution),
+  * the kernel runs the forward depth loop saving the 8-float ray state
+    per depth into VMEM scratch (the checkpoint set), then a reverse
+    depth loop re-runs each bounce under `jax.vjp` — JAX derives the
+    bounce adjoint, Mosaic compiles it fused — accumulating cotangents
+    for every table entry and propagating the ray-state cotangent,
+  * per-tile table cotangents leave the kernel as partial-sum outputs
+    ([n_tiles, ...]) and are summed by XLA; the pullback from tables to
+    the user-facing Scene pytree is jax.vjp through the (pure JAX)
+    table-packing function, so derived quantities (r^2, edges, pn,
+    emitted = color * intensity) chain automatically.
+
+`chain_trace_fused` wires forward kernel + backward kernel into one
+custom_vjp: rendering AND training both run fused on-chip.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from raytracingengine_tpu.geometry.intersect import EPS, FlatScene
+from raytracingengine_tpu.kernels.chain_trace import (
+    LANE,
+    SUB,
+    TILE,
+    _INF,
+    chain_trace_pallas,
+    pack_scene_tables,
+)
+
+
+def _closest_hit_unrolled(tables, ns, np_, nt, ox, oy, oz, dx, dy, dz):
+    """Python-unrolled linear scan; math identical to chain_trace.py's
+    fori version (atomic packed select included)."""
+    sph, pl_, tri, mat, _ = tables
+    shape = ox.shape
+    carry = jnp.concatenate(
+        [jnp.full((1,) + shape, _INF), jnp.zeros((9,) + shape)], axis=0
+    )
+    a_coef = dx * dx + dy * dy + dz * dz
+
+    def upd(carry, t_new, hit, n3, gi):
+        t = carry[0]
+        closer = hit & (t_new < t)
+        nxn, nyn, nzn = n3
+        one = jnp.ones(shape)
+        new = jnp.stack(
+            [
+                t_new,
+                nxn,
+                nyn,
+                nzn,
+                mat[0, gi] * one,
+                mat[1, gi] * one,
+                mat[2, gi] * one,
+                mat[3, gi] * one,
+                mat[4, gi] * one,
+                mat[5, gi] * one,  # transparency
+            ]
+        )
+        return jnp.where(closer[None], new, carry)
+
+    for i in range(ns):
+        cx, cy, cz, r2 = sph[0, i], sph[1, i], sph[2, i], sph[3, i]
+        ocx, ocy, ocz = ox - cx, oy - cy, oz - cz
+        b = 2.0 * (ocx * dx + ocy * dy + ocz * dz)
+        c = ocx * ocx + ocy * ocy + ocz * ocz - r2
+        disc = b * b - 4.0 * a_coef * c
+        ok = disc >= 0.0
+        sq = jnp.sqrt(jnp.where(ok, jnp.maximum(disc, 0.0), 1.0))
+        inv2a = 0.5 / a_coef
+        tt0 = (-b - sq) * inv2a
+        tt1 = (-b + sq) * inv2a
+        t_new = jnp.where(tt0 >= EPS, tt0, tt1)
+        hit = ok & (t_new >= EPS)
+        px = ox + dx * t_new
+        py = oy + dy * t_new
+        pz = oz + dz * t_new
+        gx, gy, gz = px - cx, py - cy, pz - cz
+        g2 = gx * gx + gy * gy + gz * gz
+        g_ok = g2 > 1e-16
+        # rsqrt grad is -0.5 g^-1.5: overflows to inf on near-zero garbage
+        # lanes and poisons the masked branch with 0*inf = NaN.
+        inv = jnp.where(g_ok, jax.lax.rsqrt(jnp.where(g_ok, g2, 1.0)), 0.0)
+        carry = upd(carry, t_new, hit, (gx * inv, gy * inv, gz * inv), i)
+
+    for i in range(np_):
+        nx_, ny_, nz_, pn = pl_[0, i], pl_[1, i], pl_[2, i], pl_[3, i]
+        denom = dx * nx_ + dy * ny_ + dz * nz_
+        ok = jnp.abs(denom) > EPS
+        on = ox * nx_ + oy * ny_ + oz * nz_
+        t_new = (pn - on) / jnp.where(ok, denom, 1.0)
+        hit = ok & (t_new >= 0.0)
+        one = jnp.ones(shape)
+        carry = upd(carry, t_new, hit, (nx_ * one, ny_ * one, nz_ * one), ns + i)
+
+    for i in range(nt):
+        v0x, v0y, v0z = tri[0, i], tri[1, i], tri[2, i]
+        e1x, e1y, e1z = tri[3, i], tri[4, i], tri[5, i]
+        e2x, e2y, e2z = tri[6, i], tri[7, i], tri[8, i]
+        nux, nuy, nuz = tri[9, i], tri[10, i], tri[11, i]
+        hx = dy * e2z - dz * e2y
+        hy = dz * e2x - dx * e2z
+        hz = dx * e2y - dy * e2x
+        a = e1x * hx + e1y * hy + e1z * hz
+        ok = jnp.abs(a) > EPS
+        f = 1.0 / jnp.where(ok, a, 1.0)
+        sx, sy, sz = ox - v0x, oy - v0y, oz - v0z
+        u = f * (sx * hx + sy * hy + sz * hz)
+        qx = sy * e1z - sz * e1y
+        qy = sz * e1x - sx * e1z
+        qz = sx * e1y - sy * e1x
+        v = f * (dx * qx + dy * qy + dz * qz)
+        t_new = f * (e2x * qx + e2y * qy + e2z * qz)
+        hit = (
+            ok & (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (u + v <= 1.0)
+            & (t_new > EPS)
+        )
+        one = jnp.ones(shape)
+        carry = upd(
+            carry, t_new, hit, (nux * one, nuy * one, nuz * one), ns + np_ + i
+        )
+
+    return tuple(carry[i] for i in range(10))
+
+
+def _any_hit_unrolled(tables, ns, np_, nt, ox, oy, oz, dx, dy, dz, lo, hi):
+    sph, pl_, tri, _, _ = tables
+    occ = jnp.zeros(ox.shape, jnp.float32)
+    a_coef = dx * dx + dy * dy + dz * dz
+    for i in range(ns):
+        cx, cy, cz, r2 = sph[0, i], sph[1, i], sph[2, i], sph[3, i]
+        ocx, ocy, ocz = ox - cx, oy - cy, oz - cz
+        b = 2.0 * (ocx * dx + ocy * dy + ocz * dz)
+        c = ocx * ocx + ocy * ocy + ocz * ocz - r2
+        disc = b * b - 4.0 * a_coef * c
+        ok = disc >= 0.0
+        sq = jnp.sqrt(jnp.where(ok, jnp.maximum(disc, 0.0), 1.0))
+        inv2a = 0.5 / a_coef
+        tt0 = (-b - sq) * inv2a
+        tt1 = (-b + sq) * inv2a
+        t_new = jnp.where(tt0 >= EPS, tt0, tt1)
+        hit = ok & (t_new >= EPS)
+        occ = jnp.maximum(
+            occ, (hit & (t_new > lo) & (t_new < hi)).astype(jnp.float32)
+        )
+    for i in range(np_):
+        nx_, ny_, nz_, pn = pl_[0, i], pl_[1, i], pl_[2, i], pl_[3, i]
+        denom = dx * nx_ + dy * ny_ + dz * nz_
+        ok = jnp.abs(denom) > EPS
+        on = ox * nx_ + oy * ny_ + oz * nz_
+        t_new = (pn - on) / jnp.where(ok, denom, 1.0)
+        hit = ok & (t_new >= 0.0)
+        occ = jnp.maximum(
+            occ, (hit & (t_new > lo) & (t_new < hi)).astype(jnp.float32)
+        )
+    for i in range(nt):
+        v0x, v0y, v0z = tri[0, i], tri[1, i], tri[2, i]
+        e1x, e1y, e1z = tri[3, i], tri[4, i], tri[5, i]
+        e2x, e2y, e2z = tri[6, i], tri[7, i], tri[8, i]
+        hx = dy * e2z - dz * e2y
+        hy = dz * e2x - dx * e2z
+        hz = dx * e2y - dy * e2x
+        a = e1x * hx + e1y * hy + e1z * hz
+        ok = jnp.abs(a) > EPS
+        f = 1.0 / jnp.where(ok, a, 1.0)
+        sx, sy, sz = ox - v0x, oy - v0y, oz - v0z
+        u = f * (sx * hx + sy * hy + sz * hz)
+        qx = sy * e1z - sz * e1y
+        qy = sz * e1x - sx * e1z
+        qz = sx * e1y - sy * e1x
+        v = f * (dx * qx + dy * qy + dz * qz)
+        t_new = f * (e2x * qx + e2y * qy + e2z * qz)
+        hit = (
+            ok & (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (u + v <= 1.0)
+            & (t_new > EPS)
+        )
+        occ = jnp.maximum(
+            occ, (hit & (t_new > lo) & (t_new < hi)).astype(jnp.float32)
+        )
+    return occ > 0.0
+
+
+def _make_bounce(ns, np_, nt, nl, bias):
+    """(state, tables) -> (new_state, (cr, cg, cb)): one Whitted bounce
+    with binary shadows; pure function of its inputs (vjp-able).
+    state = (ox, oy, oz, dx, dy, dz, w, live_f)."""
+
+    def bounce(state, tables):
+        ox, oy, oz, dx, dy, dz, weight, live_f = state
+        light = tables[4]
+        shape = ox.shape
+        live = live_f > 0.0
+
+        t_sky = 0.5 * (dy + 1.0)
+        skr = 1.0 - 0.5 * t_sky
+        skg = 1.0 - 0.3 * t_sky
+        skb = jnp.ones(shape)
+
+        (t, nx, ny, nz, ar, ag, ab, spec, shin, tau_raw) = _closest_hit_unrolled(
+            tables, ns, np_, nt, ox, oy, oz, dx, dy, dz
+        )
+        tau = jnp.clip(tau_raw, 0.0, 1.0)
+        hit = t < _INF
+        miss = live & ~hit
+        shade = live & hit
+
+        cr = jnp.where(miss, weight * skr, 0.0)
+        cg = jnp.where(miss, weight * skg, 0.0)
+        cb = jnp.where(miss, weight * skb, 0.0)
+
+        ndotd = nx * dx + ny * dy + nz * dz
+        flip = jnp.where(ndotd < 0.0, 1.0, -1.0)
+        nx, ny, nz = nx * flip, ny * flip, nz * flip
+
+        t_safe = jnp.where(hit, t, 0.0)
+        px = ox + dx * t_safe
+        py = oy + dy * t_safe
+        pz = oz + dz * t_safe
+
+        sox = px + nx * bias
+        soy = py + ny * bias
+        soz = pz + nz * bias
+        spec_on = spec > 0.0
+
+        diff_r = jnp.zeros(shape)
+        diff_g = jnp.zeros(shape)
+        diff_b = jnp.zeros(shape)
+        spec_r = jnp.zeros(shape)
+        spec_g = jnp.zeros(shape)
+        spec_b = jnp.zeros(shape)
+        for li in range(nl):
+            lx, ly, lz = light[0, li], light[1, li], light[2, li]
+            er, eg, eb = light[3, li], light[4, li], light[5, li]
+            vx, vy, vz = lx - px, ly - py, lz - pz
+            dist2 = vx * vx + vy * vy + vz * vz
+            d_ok = dist2 > 1e-20
+            dist = jnp.sqrt(jnp.where(d_ok, dist2, 1.0))
+            inv_d = jnp.where(d_ok, 1.0 / dist, 0.0)
+            ldx, ldy, ldz = vx * inv_d, vy * inv_d, vz * inv_d
+            ndotl = jnp.maximum(0.0, nx * ldx + ny * ldy + nz * ldz)
+            ok = shade & (dist > bias) & (ndotl > 0.0)
+            occ = _any_hit_unrolled(
+                tables, ns, np_, nt, sox, soy, soz, ldx, ldy, ldz,
+                jnp.full(shape, bias), dist - bias,
+            )
+            vis = ok & ~occ
+            inv_d2 = inv_d * inv_d
+            contrib = inv_d2 * ndotl
+            diff_r += jnp.where(vis, er * contrib, 0.0)
+            diff_g += jnp.where(vis, eg * contrib, 0.0)
+            diff_b += jnp.where(vis, eb * contrib, 0.0)
+            hx_, hy_, hz_ = ldx - dx, ldy - dy, ldz - dz
+            h2 = hx_ * hx_ + hy_ * hy_ + hz_ * hz_
+            h_ok = h2 > 1e-16
+            invh = jnp.where(h_ok, jax.lax.rsqrt(jnp.where(h_ok, h2, 1.0)), 0.0)
+            ndoth = jnp.maximum(0.0, (nx * hx_ + ny * hy_ + nz * hz_) * invh)
+            s_ok = vis & spec_on & (ndoth > 0.0)
+            ndoth_s = jnp.where(s_ok, ndoth, 1.0)
+            sf = jnp.exp(shin * jnp.log(ndoth_s)) * inv_d2
+            spec_r += jnp.where(s_ok, er * sf, 0.0)
+            spec_g += jnp.where(s_ok, eg * sf, 0.0)
+            spec_b += jnp.where(s_ok, eb * sf, 0.0)
+
+        one_m_tau = 1.0 - tau
+        cr += jnp.where(shade, weight * one_m_tau * (ar * diff_r + spec_r * spec), 0.0)
+        cg += jnp.where(shade, weight * one_m_tau * (ag * diff_g + spec_g * spec), 0.0)
+        cb += jnp.where(shade, weight * one_m_tau * (ab * diff_b + spec_b * spec), 0.0)
+
+        cont = shade & (spec > bias)
+        ddn = dx * nx + dy * ny + dz * nz
+        rx = dx - 2.0 * ddn * nx
+        ry = dy - 2.0 * ddn * ny
+        rz = dz - 2.0 * ddn * nz
+        r2 = rx * rx + ry * ry + rz * rz
+        r_ok = r2 > 1e-16
+        invr = jnp.where(r_ok, jax.lax.rsqrt(jnp.where(r_ok, r2, 1.0)), 0.0)
+        rx, ry, rz = rx * invr, ry * invr, rz * invr
+        new_state = (
+            jnp.where(cont, px + rx * bias, ox),
+            jnp.where(cont, py + ry * bias, oy),
+            jnp.where(cont, pz + rz * bias, oz),
+            jnp.where(cont, rx, dx),
+            jnp.where(cont, ry, dy),
+            jnp.where(cont, rz, dz),
+            jnp.where(cont, weight * spec, weight),
+            cont.astype(jnp.float32),
+        )
+        return new_state, (cr, cg, cb)
+
+    return bounce
+
+
+def _final_sky(state):
+    """Depth-exhaustion sky term (differentiable in d and w)."""
+    ox, oy, oz, dx, dy, dz, weight, live_f = state
+    live = live_f > 0.0
+    t_sky = 0.5 * (dy + 1.0)
+    cr = jnp.where(live, weight * (1.0 - 0.5 * t_sky), 0.0)
+    cg = jnp.where(live, weight * (1.0 - 0.3 * t_sky), 0.0)
+    cb = jnp.where(live, weight * jnp.ones_like(dx), 0.0)
+    return cr, cg, cb
+
+
+def _make_grad_kernel(ns, np_, nt, nl, max_depth, bias, table_shapes):
+    bounce = _make_bounce(ns, np_, nt, nl, bias)
+    n_state = 8
+
+    def kernel(
+        sph_ref, pl_ref, tri_ref, mat_ref, light_ref,
+        ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+        gr_ref, gg_ref, gb_ref,
+        gsph_ref, gpl_ref, gtri_ref, gmat_ref, glight_ref,
+        gox_ref, goy_ref, goz_ref, gdx_ref, gdy_ref, gdz_ref,
+        states_ref,  # scratch [max_depth, 8, SUB, LANE]
+    ):
+        tables = (sph_ref[:], pl_ref[:], tri_ref[:], mat_ref[:], light_ref[:])
+        state0 = (
+            ox_ref[:], oy_ref[:], oz_ref[:],
+            dx_ref[:], dy_ref[:], dz_ref[:],
+            jnp.ones((SUB, LANE)), jnp.ones((SUB, LANE)),
+        )
+
+        # ---- forward: checkpoint the 8-field ray state per depth ----
+        def fwd_body(dpt, state):
+            states_ref[dpt] = jnp.stack(state)
+            new_state, _ = bounce(state, tables)
+            return new_state
+
+        state_T = jax.lax.fori_loop(0, max_depth, fwd_body, state0)
+
+        gbar = (gr_ref[:], gg_ref[:], gb_ref[:])
+
+        # ---- reverse: final sky term, then per-bounce adjoints ----
+        _, sky_vjp = jax.vjp(_final_sky, state_T)
+        (state_cot,) = sky_vjp(gbar)
+        gt0 = tuple(jnp.zeros(s, jnp.float32) for s in table_shapes)
+
+        def bwd_body(k, carry):
+            state_cot, gt = carry
+            dpt = max_depth - 1 - k
+            saved = states_ref[dpt]
+            state = tuple(saved[i] for i in range(n_state))
+            _, b_vjp = jax.vjp(bounce, state, tables)
+            s_cot, t_cot = b_vjp((state_cot, gbar))
+            gt = tuple(a + b for a, b in zip(gt, t_cot))
+            return s_cot, gt
+
+        state_cot, gt = jax.lax.fori_loop(
+            0, max_depth, bwd_body, (state_cot, gt0)
+        )
+
+        # outputs carry a leading grid-block dim of size 1
+        gsph_ref[0] = gt[0]
+        gpl_ref[0] = gt[1]
+        gtri_ref[0] = gt[2]
+        gmat_ref[0] = gt[3]
+        glight_ref[0] = gt[4]
+        # primary-ray cotangents (camera gradients)
+        gox_ref[:] = state_cot[0]
+        goy_ref[:] = state_cot[1]
+        goz_ref[:] = state_cot[2]
+        gdx_ref[:] = state_cot[3]
+        gdy_ref[:] = state_cot[4]
+        gdz_ref[:] = state_cot[5]
+
+    return kernel
+
+
+def chain_grad_pallas(flat: FlatScene, o, d, gbar, cfg):
+    """Backward kernel: cotangent of the rendered rgb [R,3] ->
+    (table cotangents summed over rays, d_origins [R,3], d_dirs [R,3])."""
+    r = o.shape[0]
+    n_tiles = -(-r // TILE)
+    pad = n_tiles * TILE - r
+
+    def shape_ray(x, fill=0.0):
+        return (
+            jnp.pad(x, (0, pad), constant_values=fill)
+            .reshape(n_tiles * SUB, LANE)
+            .astype(jnp.float32)
+        )
+
+    ox, oy, oz = (shape_ray(o[:, i]) for i in range(3))
+    # Unit fill: d = 0 on padded lanes poisons backward sums (see
+    # chain_trace.py).
+    dx, dy = shape_ray(d[:, 0]), shape_ray(d[:, 1])
+    dz = shape_ray(d[:, 2], fill=1.0)
+    # Padded cotangent lanes are zero -> no spurious gradient.
+    gr, gg, gb = (shape_ray(gbar[:, i]) for i in range(3))
+
+    tables = pack_scene_tables(flat)
+    table_shapes = tuple(t.shape for t in tables)
+    kernel = _make_grad_kernel(
+        flat.n_spheres, flat.n_planes, flat.n_triangles, flat.n_lights,
+        cfg.max_depth, cfg.bias, table_shapes,
+    )
+
+    vmem_full = lambda t: pl.BlockSpec(
+        t.shape, lambda i: tuple(0 for _ in t.shape), memory_space=pltpu.VMEM
+    )
+    ray_spec = pl.BlockSpec((SUB, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    # per-tile partial table grads: [n_tiles, *shape]. Bind the shape via
+    # a default arg — a loop-variable closure would late-bind to the last
+    # shape.
+    out_specs = tuple(
+        pl.BlockSpec(
+            (1,) + s,
+            lambda i, _nz=len(s): (i,) + (0,) * _nz,
+            memory_space=pltpu.VMEM,
+        )
+        for s in table_shapes
+    ) + (ray_spec,) * 6
+    out_shape = tuple(
+        jax.ShapeDtypeStruct((n_tiles,) + s, jnp.float32) for s in table_shapes
+    ) + tuple(
+        jax.ShapeDtypeStruct((n_tiles * SUB, LANE), jnp.float32)
+        for _ in range(6)
+    )
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[vmem_full(t) for t in tables] + [ray_spec] * 9,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((cfg.max_depth, 8, SUB, LANE), jnp.float32)
+        ],
+    )(*tables, ox, oy, oz, dx, dy, dz, gr, gg, gb)
+    table_grads = tuple(jnp.sum(g, axis=0) for g in outs[:5])
+    ray_grads = outs[5:]
+
+    def unshape(x):
+        return x.reshape(-1)[:r]
+
+    go = jnp.stack([unshape(ray_grads[i]) for i in range(3)], axis=-1)
+    gd = jnp.stack([unshape(ray_grads[i + 3]) for i in range(3)], axis=-1)
+    return table_grads, go.astype(o.dtype), gd.astype(d.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def chain_trace_fused(flat: FlatScene, o, d, cfg):
+    """Forward AND backward fully fused on-chip (opaque chain, binary
+    shadows). Gradients flow to every differentiable scene leaf and to
+    the ray origins/directions (camera parameters)."""
+    return chain_trace_pallas(flat, o, d, cfg)
+
+
+def _fused_fwd(flat, o, d, cfg):
+    return chain_trace_pallas(flat, o, d, cfg), (flat, o, d)
+
+
+def _fused_bwd(cfg, res, g):
+    flat, o, d = res
+    # Pull cotangents back through the (pure JAX) table packing so derived
+    # entries (r^2, e1/e2, pn, emitted) chain to the original leaves.
+    _, pack_vjp = jax.vjp(pack_scene_tables, flat)
+    table_cots, go, gd = chain_grad_pallas(flat, o, d, g, cfg)
+    (flat_cot,) = pack_vjp(tuple(table_cots))
+    return flat_cot, go, gd
+
+
+chain_trace_fused.defvjp(_fused_fwd, _fused_bwd)

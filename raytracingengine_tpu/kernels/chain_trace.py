@@ -420,9 +420,9 @@ def pack_scene_tables(flat: FlatScene):
     mat = jnp.stack(
         [
             flat.albedo[:, 0], flat.albedo[:, 1], flat.albedo[:, 2],
-            flat.specular, flat.shininess,
+            flat.specular, flat.shininess, flat.transparency,
         ]
-    ).astype(dt) if flat.n_primitives else jnp.zeros((5, 1), dt)
+    ).astype(dt) if flat.n_primitives else jnp.zeros((6, 1), dt)
 
     l_act = flat.light_active
     emit = flat.light_colors * flat.light_intensities[:, None]
@@ -448,12 +448,16 @@ def chain_trace_pallas(
     n_tiles = -(-r // TILE)
     pad = n_tiles * TILE - r
 
-    def shape_ray(x):
-        x = jnp.pad(x, (0, pad))
+    def shape_ray(x, fill=0.0):
+        x = jnp.pad(x, (0, pad), constant_values=fill)
         return x.reshape(n_tiles * SUB, LANE).astype(jnp.float32)
 
     ox, oy, oz = (shape_ray(o[:, i]) for i in range(3))
-    dx, dy, dz = (shape_ray(d[:, i]) for i in range(3))
+    # Padding lanes get a benign unit direction: d = 0 would make the
+    # sphere quadratic divide by a = d.d = 0 (inf/NaN poisons backward
+    # parameter sums even under zero cotangents).
+    dx, dy = shape_ray(d[:, 0]), shape_ray(d[:, 1])
+    dz = shape_ray(d[:, 2], fill=1.0)
 
     sph, pl_, tri, mat, light = pack_scene_tables(flat)
     kernel = _make_kernel(

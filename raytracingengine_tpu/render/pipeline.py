@@ -65,13 +65,15 @@ def _render_chunk(
 
         integrate = integrate_chain_soft
     elif cfg.use_pallas and prim_axis is None:
-        from raytracingengine_tpu.kernels.chain_trace import (
-            chain_trace,
-            pallas_applicable,
-        )
+        from raytracingengine_tpu.kernels.chain_grad import chain_trace_fused
+        from raytracingengine_tpu.kernels.chain_trace import pallas_applicable
 
         if pallas_applicable(flat, cfg, mode):
-            integrate = lambda fl, o, d, c, _pa=None: chain_trace(fl, o, d, c)
+            # fused forward AND backward kernels (full gradients: scene
+            # params + camera rays)
+            integrate = lambda fl, o, d, c, _pa=None: chain_trace_fused(
+                fl, o, d, c
+            )
         else:
             integrate = integrate_chain if mode == "chain" else integrate_wavefront
     else:
