@@ -12,10 +12,11 @@ Timing forces a host readback (this image's tunneled TPU backend reports
 buffers ready before device completion) and amortizes the ~30 ms relay
 round-trip across the 8 samples.
 
-A forward+backward training-step number (value_and_grad w.r.t. every
-scene parameter through the differentiable XLA path) is reported to
-stderr at reduced resolution; making that pass speed-of-light (a fused
-backward kernel) is tracked work.
+The headline is the forward+backward training step — value_and_grad of
+an image loss w.r.t. every scene parameter — through the fused forward
+AND fused checkpointed-adjoint backward kernels (kernels/chain_grad.py),
+the metric BASELINE.json declares. The forward-only render rate is
+reported to stderr.
 
 The reference publishes no numbers (BASELINE.md). `vs_baseline`
 compares against a generous estimate of the reference C++/OpenMP
@@ -63,50 +64,54 @@ def main() -> None:
     for _ in range(iters):
         v = float(fwd(scene))
     dt = (time.time() - t0) / iters
-    n_rays = width * height * spp
-    fwd_rays = n_rays / dt
+    fwd_rays = width * height * spp / dt
     print(
         f"forward: {dt*1e3:.1f} ms for {spp} frames @1080p "
         f"({dt*1e3/spp:.1f} ms/frame) -> {fwd_rays/1e6:.1f} Mrays/s",
         file=sys.stderr,
     )
 
-    # fwd+bwd detail at reduced size (XLA differentiable path)
-    try:
-        from raytracingengine_tpu.inverse import combine, partition
+    # Headline: fused forward+backward training step at 1080p spp=1.
+    import raytracingengine_tpu.kernels.chain_grad as cg
+    from raytracingengine_tpu.geometry.intersect import flatten_scene
+    from raytracingengine_tpu.inverse import combine, partition
 
-        bw, bh = 480, 270
-        scene_b, camera_b = head_box_scene(width=bw, height=bh, spp=1)
-        cfg_b = RenderConfig(shadow_mode="binary", chunk_size=bw * bh)
-        params, static = partition(scene_b)
+    scene_b, camera_b = head_box_scene(width=width, height=height, spp=1)
+    o, d = camera_b.rays_for_pixels(*camera_b.pixel_grid())
+    cfg_b = RenderConfig(shadow_mode="binary")
+    params, static = partition(scene_b)
 
-        def loss(p):
-            img = render_hdr(combine(p, static), camera_b, cfg_b)
-            return jnp.mean(img * img)
+    def loss(p):
+        fl = flatten_scene(combine(p, static))
+        img = cg.chain_trace_fused(fl, o, d, cfg_b)
+        return jnp.mean(img * img)
 
-        gf = jax.jit(jax.value_and_grad(loss))
-        (l0, g0) = gf(params)
-        _ = float(l0)
-        t0 = time.time()
-        for _ in range(2):
-            l, g = gf(params)
-            _ = float(l)
-        dtb = (time.time() - t0) / 2
-        print(
-            f"fwd+bwd (XLA, {bw}x{bh}): {dtb*1e3:.1f} ms/step -> "
-            f"{bw*bh/dtb/1e6:.2f} Mrays/s",
-            file=sys.stderr,
-        )
-    except Exception as e:  # detail metric must not break the headline
-        print(f"fwd+bwd detail failed: {e}", file=sys.stderr)
+    gf = jax.jit(jax.value_and_grad(loss))
+    t0 = time.time()
+    l, g = gf(params)
+    _ = float(l)
+    print(f"fwd+bwd warmup (incl. compile): {time.time()-t0:.1f}s",
+          file=sys.stderr)
+    t0 = time.time()
+    for _ in range(iters):
+        l, g = gf(params)
+        _ = float(l)
+    dtb = (time.time() - t0) / iters
+    bwd_rays = width * height / dtb
+    print(
+        f"fwd+bwd (fused kernels): {dtb*1e3:.1f} ms/step @1080p -> "
+        f"{bwd_rays/1e6:.2f} Mrays/s",
+        file=sys.stderr,
+    )
 
     print(
         json.dumps(
             {
-                "metric": "fwd rays/s/chip @1080p depth-10 (HEAD box scene, fused Pallas)",
-                "value": round(fwd_rays, 1),
+                "metric": "fwd+bwd rays/s/chip @1080p depth-10 "
+                          "(HEAD box scene, fused fwd+adjoint kernels)",
+                "value": round(bwd_rays, 1),
                 "unit": "rays/s",
-                "vs_baseline": round(fwd_rays / BASELINE_RAYS_PER_S, 3),
+                "vs_baseline": round(bwd_rays / BASELINE_RAYS_PER_S, 3),
             }
         )
     )
