@@ -234,18 +234,15 @@ def _any_hit(sph, pl_, tri, ns, np_, nt, ox, oy, oz, dx, dy, dz, lo, hi):
     return occ > 0.0
 
 
-def _make_kernel(ns: int, np_: int, nt: int, nl: int, max_depth: int, bias: float):
-    def kernel(
-        sph_ref, pl_ref, tri_ref, mat_ref, light_ref,
-        ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
-        r_ref, g_ref, b_ref,
-    ):
-        sph, pl_, tri, mat, light = (
-            sph_ref, pl_ref, tri_ref, mat_ref, light_ref,
-        )
-        ox0, oy0, oz0 = ox_ref[:], oy_ref[:], oz_ref[:]
-        dx0, dy0, dz0 = dx_ref[:], dy_ref[:], dz_ref[:]
-        shape = ox0.shape
+def _trace_tile(
+    sph, pl_, tri, mat, light, ns, np_, nt, nl, max_depth, bias,
+    ox0, oy0, oz0, dx0, dy0, dz0,
+):
+    """Full Whitted chain for one [SUB, LANE] ray tile -> (r, g, b).
+
+    Shared by the single-sample kernel and the in-kernel spp sampler."""
+    shape = ox0.shape
+    if True:  # preserved indentation of the original kernel body
         zero = jnp.zeros(shape)
         # Depth loop as fori (not a Python unroll): one body keeps the
         # Mosaic compile tractable. `live` rides as 0/1 float (i1 vectors
@@ -373,10 +370,24 @@ def _make_kernel(ns: int, np_: int, nt: int, nl: int, max_depth: int, bias: floa
         acc_r += jnp.where(live, weight * skr, 0.0)
         acc_g += jnp.where(live, weight * skg, 0.0)
         acc_b += jnp.where(live, weight * skb, 0.0)
+        return acc_r, acc_g, acc_b
 
-        r_ref[:] = acc_r
-        g_ref[:] = acc_g
-        b_ref[:] = acc_b
+
+def _make_kernel(ns: int, np_: int, nt: int, nl: int, max_depth: int, bias: float):
+    def kernel(
+        sph_ref, pl_ref, tri_ref, mat_ref, light_ref,
+        ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+        r_ref, g_ref, b_ref,
+    ):
+        r, g, b = _trace_tile(
+            sph_ref, pl_ref, tri_ref, mat_ref, light_ref,
+            ns, np_, nt, nl, max_depth, bias,
+            ox_ref[:], oy_ref[:], oz_ref[:],
+            dx_ref[:], dy_ref[:], dz_ref[:],
+        )
+        r_ref[:] = r
+        g_ref[:] = g
+        b_ref[:] = b
 
     return kernel
 

@@ -69,6 +69,16 @@ def _render_chunk(
         from raytracingengine_tpu.kernels.chain_trace import pallas_applicable
 
         if pallas_applicable(flat, cfg, mode):
+            if camera.spp > 1:
+                # whole AA loop fused in-kernel (forward-only render path)
+                from raytracingengine_tpu.kernels.spp_trace import (
+                    spp_trace_pallas,
+                )
+
+                seed = jax.random.randint(
+                    chunk_key, (), 0, 2**31 - 1, dtype=jnp.int32
+                )
+                return spp_trace_pallas(flat, camera, cfg, px, py, seed)
             # fused forward AND backward kernels (full gradients: scene
             # params + camera rays)
             integrate = lambda fl, o, d, c, _pa=None: chain_trace_fused(
