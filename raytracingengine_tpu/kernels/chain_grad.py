@@ -338,12 +338,24 @@ def _make_grad_kernel(ns, np_, nt, nl, max_depth, bias, table_shapes):
         )
 
         # ---- forward: checkpoint the 8-field ray state per depth ----
-        def fwd_body(dpt, state):
+        # While-loop with whole-tile early exit (see chain_trace.py):
+        # bounces where every lane is dead are identity maps with zero
+        # rgb contribution and zero table cotangents, so both loops can
+        # stop at the first all-dead depth. `nd` = number of live
+        # bounces actually taken; the reverse loop replays exactly those.
+        def fwd_cond(c):
+            dpt, state = c
+            return (dpt < max_depth) & (jnp.max(state[7]) > 0.0)
+
+        def fwd_body(c):
+            dpt, state = c
             states_ref[dpt] = jnp.stack(state)
             new_state, _ = bounce(state, tables)
-            return new_state
+            return dpt + 1, new_state
 
-        state_T = jax.lax.fori_loop(0, max_depth, fwd_body, state0)
+        nd, state_T = jax.lax.while_loop(
+            fwd_cond, fwd_body, (jnp.int32(0), state0)
+        )
 
         gbar = (gr_ref[:], gg_ref[:], gb_ref[:])
 
@@ -354,7 +366,7 @@ def _make_grad_kernel(ns, np_, nt, nl, max_depth, bias, table_shapes):
 
         def bwd_body(k, carry):
             state_cot, gt = carry
-            dpt = max_depth - 1 - k
+            dpt = nd - 1 - k
             saved = states_ref[dpt]
             state = tuple(saved[i] for i in range(n_state))
             _, b_vjp = jax.vjp(bounce, state, tables)
@@ -363,7 +375,7 @@ def _make_grad_kernel(ns, np_, nt, nl, max_depth, bias, table_shapes):
             return s_cot, gt
 
         state_cot, gt = jax.lax.fori_loop(
-            0, max_depth, bwd_body, (state_cot, gt0)
+            0, nd, bwd_body, (state_cot, gt0)
         )
 
         # outputs carry a leading grid-block dim of size 1

@@ -43,7 +43,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from raytracingengine_tpu.geometry.intersect import EPS, FlatScene
 
-SUB, LANE = 8, 128
+SUB, LANE = 64, 128
 TILE = SUB * LANE  # rays per kernel instance
 
 _INF = 3.0e38
@@ -244,9 +244,14 @@ def _trace_tile(
     shape = ox0.shape
     if True:  # preserved indentation of the original kernel body
         zero = jnp.zeros(shape)
-        # Depth loop as fori (not a Python unroll): one body keeps the
-        # Mosaic compile tractable. `live` rides as 0/1 float (i1 vectors
-        # can't be loop-carried).
+        # Depth loop as a while_loop with whole-tile early exit: one body
+        # keeps the Mosaic compile tractable, and the loop stops as soon
+        # as every lane in the tile is dead (miss or no reflective
+        # continuation). Dead-lane bounces are identity maps on the
+        # carry, so exiting early is bit-identical to running out the
+        # full max_depth — but on typical scenes most tiles finish in
+        # 1-2 bounces instead of 10. `live` rides as 0/1 float (i1
+        # vectors can't be loop-carried).
         carry0 = (
             ox0, oy0, oz0, dx0, dy0, dz0,
             jnp.ones(shape),  # weight
@@ -254,7 +259,15 @@ def _trace_tile(
             zero, zero, zero,  # accum rgb
         )
 
-        def depth_body(_, carry):
+        def depth_cond(c):
+            i, carry = c
+            return (i < max_depth) & (jnp.max(carry[7]) > 0.0)
+
+        def depth_step(c):
+            i, carry = c
+            return i + 1, depth_body(carry)
+
+        def depth_body(carry):
             ox, oy, oz, dx, dy, dz, weight, live_f, acc_r, acc_g, acc_b = carry
             live = live_f > 0.0
             skr, skg, skb = _sky(dx, dy, dz)
@@ -362,7 +375,9 @@ def _trace_tile(
                 cont.astype(jnp.float32), acc_r, acc_g, acc_b,
             )
 
-        carry = jax.lax.fori_loop(0, max_depth, depth_body, carry0)
+        _, carry = jax.lax.while_loop(
+            depth_cond, depth_step, (jnp.int32(0), carry0)
+        )
         ox, oy, oz, dx, dy, dz, weight, live_f, acc_r, acc_g, acc_b = carry
         # Depth exhaustion -> sky (Scene.h:132-134)
         live = live_f > 0.0
