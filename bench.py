@@ -18,10 +18,14 @@ AND fused checkpointed-adjoint backward kernels (kernels/chain_grad.py),
 the metric BASELINE.json declares. The forward-only render rate is
 reported to stderr.
 
-The reference publishes no numbers (BASELINE.md). `vs_baseline`
-compares against a generous estimate of the reference C++/OpenMP
-engine's throughput on a 16-thread desktop CPU: ~2e6 primary rays/s
-(SURVEY.md §3.2 cost model).
+The reference publishes no numbers (BASELINE.md), so the baseline is
+MEASURED on this host: the reference engine built unmodified from
+/root/reference (refbuild/build.sh) renders the identical HEAD scene at
+1920x1080 spp=1 in 11.19 s -> 185,343 primary rays/s (OpenMP, all cores;
+refbuild/baseline_measured.json). The 32-spp 1000x1000 run agrees
+(186,771 rays/s over 171.3 s), so the figure is stable across configs.
+`vs_baseline` divides our fwd+bwd step rate by that measured forward-only
+rate — conservative, since the reference has no backward pass at all.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -29,10 +33,22 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
-BASELINE_RAYS_PER_S = 2.0e6
+#: Measured reference throughput (fallback if the JSON record is absent).
+BASELINE_RAYS_PER_S = 185343.0
+
+
+def _measured_baseline() -> float:
+    p = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "refbuild", "baseline_measured.json")
+    try:
+        with open(p) as f:
+            return float(json.load(f)["head_scene_1080p_spp1_rays_per_s"])
+    except Exception:
+        return BASELINE_RAYS_PER_S
 
 
 def main() -> None:
@@ -111,7 +127,7 @@ def main() -> None:
                           "(HEAD box scene, fused fwd+adjoint kernels)",
                 "value": round(bwd_rays, 1),
                 "unit": "rays/s",
-                "vs_baseline": round(bwd_rays / BASELINE_RAYS_PER_S, 3),
+                "vs_baseline": round(bwd_rays / _measured_baseline(), 3),
             }
         )
     )
