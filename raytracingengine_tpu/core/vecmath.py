@@ -33,6 +33,28 @@ def dot(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(a * b, axis=-1)
 
 
+@jax.custom_jvp
+def sqrt_grad_safe(x: jnp.ndarray) -> jnp.ndarray:
+    """sqrt with a bounded derivative.
+
+    Value is exactly jnp.sqrt(x); the derivative is clamped to
+    0.5/sqrt(max(x, 1e-12)) so tangent-grazing configurations (sphere
+    discriminant == 0, refraction k == 0 — both reachable during
+    inverse-rendering descent) produce large-but-finite gradients instead
+    of inf -> NaN. The true derivative there IS unbounded; clamping keeps
+    the descent direction and drops only the unusable magnitude.
+    """
+    return jnp.sqrt(x)
+
+
+@sqrt_grad_safe.defjvp
+def _sqrt_grad_safe_jvp(primals, tangents):
+    (x,) = primals
+    (dx,) = tangents
+    y = jnp.sqrt(x)
+    return y, dx * 0.5 * jax.lax.rsqrt(jnp.maximum(x, 1e-12))
+
+
 def cross(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Batched cross product over the trailing axis."""
     ax, ay, az = a[..., 0], a[..., 1], a[..., 2]
@@ -77,7 +99,7 @@ def refract(v: jnp.ndarray, n: jnp.ndarray, eta: jnp.ndarray) -> jnp.ndarray:
     k = 1.0 - eta * eta * (1.0 - cosi * cosi)
     tir = k < 0.0
     k_safe = jnp.maximum(k, 0.0)
-    out = i * eta[..., None] - nn * (eta * cosi + jnp.sqrt(k_safe))[..., None]
+    out = i * eta[..., None] - nn * (eta * cosi + sqrt_grad_safe(k_safe))[..., None]
     return jnp.where(tir[..., None], 0.0, out)
 
 

@@ -209,8 +209,10 @@ def intersect_spheres(flat: FlatScene, o: jnp.ndarray, d: jnp.ndarray) -> jnp.nd
     disc = b * b - 4.0 * a * cc
     disc_ok = disc >= 0.0
     # sqrt is evaluated on 1.0 in the miss branch: sqrt(max(disc,0)) would
-    # backprop inf*0 = NaN through every missing (ray, sphere) pair.
-    sq = jnp.sqrt(jnp.where(disc_ok, jnp.maximum(disc, 0.0), 1.0))
+    # backprop inf*0 = NaN through every missing (ray, sphere) pair. The
+    # grad-clamped sqrt also keeps tangent rays (disc == 0 exactly, which
+    # the hit branch ACCEPTS) from emitting sqrt'(0) = inf.
+    sq = vm.sqrt_grad_safe(jnp.where(disc_ok, jnp.maximum(disc, 0.0), 1.0))
     inv2a = 0.5 / a
     t0 = (-b - sq) * inv2a
     t1 = (-b + sq) * inv2a
@@ -398,8 +400,17 @@ def _closest_hit_local(flat: FlatScene, o: jnp.ndarray, d: jnp.ndarray) -> Hit:
             family=jnp.full((r,), FAMILY_NONE, jnp.int32),
             index=jnp.zeros((r,), jnp.int32),
         )
+    return hit_from_distances(flat, o, d, all_distances(flat, o, d))
 
-    t_all = all_distances(flat, o, d)  # [N,R]
+
+def hit_from_distances(
+    flat: FlatScene, o: jnp.ndarray, d: jnp.ndarray, t_all: jnp.ndarray
+) -> Hit:
+    """Hit record from a (possibly caller-masked) [N,R] distance matrix.
+
+    Exposed so callers can exclude primitives per ray (e.g. the soft
+    silhouette compositor masks the silhouette sphere's row to get the
+    true background hit, render/soft_primary.py)."""
     j = jnp.argmin(t_all, axis=0)  # first-minimum == reference tie-break
     t = jnp.take_along_axis(t_all, j[None, :], axis=0)[0]
     valid = jnp.isfinite(t)

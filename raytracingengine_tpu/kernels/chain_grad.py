@@ -8,7 +8,7 @@ Strategy — checkpointed adjoint inside one Pallas kernel:
     kernel's SMEM tables, but VMEM so whole-table loads are traced
     values autodiff can pull back through),
   * a per-bounce function `_bounce` (python-unrolled over primitives and
-    lights, [8,128]-tile math identical to the forward kernel) maps
+    lights, [SUB, LANE]-tile math identical to the forward kernel) maps
     (ray state, tables) -> (next state, rgb contribution),
   * the kernel runs the forward depth loop saving the 8-float ray state
     per depth into VMEM scratch (the checkpoint set), then a reverse
@@ -324,7 +324,7 @@ def _make_grad_kernel(ns, np_, nt, nl, max_depth, bias, table_shapes):
 
     def kernel(
         sph_ref, pl_ref, tri_ref, mat_ref, light_ref,
-        ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+        ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, live_ref,
         gr_ref, gg_ref, gb_ref,
         gsph_ref, gpl_ref, gtri_ref, gmat_ref, glight_ref,
         gox_ref, goy_ref, goz_ref, gdx_ref, gdy_ref, gdz_ref,
@@ -334,7 +334,7 @@ def _make_grad_kernel(ns, np_, nt, nl, max_depth, bias, table_shapes):
         state0 = (
             ox_ref[:], oy_ref[:], oz_ref[:],
             dx_ref[:], dy_ref[:], dz_ref[:],
-            jnp.ones((SUB, LANE)), jnp.ones((SUB, LANE)),
+            jnp.ones((SUB, LANE)), live_ref[:],
         )
 
         # ---- forward: checkpoint the 8-field ray state per depth ----
@@ -414,7 +414,9 @@ def chain_grad_pallas(flat: FlatScene, o, d, gbar, cfg):
     # chain_trace.py).
     dx, dy = shape_ray(d[:, 0]), shape_ray(d[:, 1])
     dz = shape_ray(d[:, 2], fill=1.0)
-    # Padded cotangent lanes are zero -> no spurious gradient.
+    # Padding lanes start dead (never extend the depth loops); their
+    # cotangent lanes are zero too -> no spurious gradient.
+    live = shape_ray(jnp.ones((r,), jnp.float32))
     gr, gg, gb = (shape_ray(gbar[:, i]) for i in range(3))
 
     tables = pack_scene_tables(flat)
@@ -449,13 +451,13 @@ def chain_grad_pallas(flat: FlatScene, o, d, gbar, cfg):
     outs = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
-        in_specs=[vmem_full(t) for t in tables] + [ray_spec] * 9,
+        in_specs=[vmem_full(t) for t in tables] + [ray_spec] * 10,
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((cfg.max_depth, 8, SUB, LANE), jnp.float32)
         ],
-    )(*tables, ox, oy, oz, dx, dy, dz, gr, gg, gb)
+    )(*tables, ox, oy, oz, dx, dy, dz, live, gr, gg, gb)
     table_grads = tuple(jnp.sum(g, axis=0) for g in outs[:5])
     ray_grads = outs[5:]
 

@@ -3,8 +3,8 @@
 The XLA pipeline (render/integrator.py) materializes a [rays, prims]
 distance matrix, hit records, and march state in HBM between every bounce
 and every shadow test. This kernel keeps *all* per-ray state in registers
-/ VMEM for the whole trace: a tile of 1024 rays (an [8, 128] VPU block)
-is loaded once, bounced up to max_depth times — closest-hit scan, binary
+/ VMEM for the whole trace: a tile of TILE = SUB*LANE rays (a stack of
+SUB-row VPU blocks) is loaded once, bounced up to max_depth times — closest-hit scan, binary
 shadow tests against every light, Blinn-Phong shading, reflection-chain
 update — and only the final RGB leaves the chip.
 
@@ -236,14 +236,19 @@ def _any_hit(sph, pl_, tri, ns, np_, nt, ox, oy, oz, dx, dy, dz, lo, hi):
 
 def _trace_tile(
     sph, pl_, tri, mat, light, ns, np_, nt, nl, max_depth, bias,
-    ox0, oy0, oz0, dx0, dy0, dz0,
+    ox0, oy0, oz0, dx0, dy0, dz0, live0=None,
 ):
     """Full Whitted chain for one [SUB, LANE] ray tile -> (r, g, b).
 
-    Shared by the single-sample kernel and the in-kernel spp sampler."""
+    Shared by the single-sample kernel and the in-kernel spp sampler.
+    `live0` (0/1 float) marks valid lanes: padding lanes in the last
+    partial tile start dead so they can never extend the whole-tile
+    early-exit depth loop (their outputs are discarded anyway)."""
     shape = ox0.shape
     if True:  # preserved indentation of the original kernel body
         zero = jnp.zeros(shape)
+        if live0 is None:
+            live0 = jnp.ones(shape)
         # Depth loop as a while_loop with whole-tile early exit: one body
         # keeps the Mosaic compile tractable, and the loop stops as soon
         # as every lane in the tile is dead (miss or no reflective
@@ -255,7 +260,7 @@ def _trace_tile(
         carry0 = (
             ox0, oy0, oz0, dx0, dy0, dz0,
             jnp.ones(shape),  # weight
-            jnp.ones(shape),  # live (0/1)
+            live0,  # live (0/1)
             zero, zero, zero,  # accum rgb
         )
 
@@ -391,14 +396,14 @@ def _trace_tile(
 def _make_kernel(ns: int, np_: int, nt: int, nl: int, max_depth: int, bias: float):
     def kernel(
         sph_ref, pl_ref, tri_ref, mat_ref, light_ref,
-        ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+        ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, live_ref,
         r_ref, g_ref, b_ref,
     ):
         r, g, b = _trace_tile(
             sph_ref, pl_ref, tri_ref, mat_ref, light_ref,
             ns, np_, nt, nl, max_depth, bias,
             ox_ref[:], oy_ref[:], oz_ref[:],
-            dx_ref[:], dy_ref[:], dz_ref[:],
+            dx_ref[:], dy_ref[:], dz_ref[:], live_ref[:],
         )
         r_ref[:] = r
         g_ref[:] = g
@@ -484,6 +489,9 @@ def chain_trace_pallas(
     # parameter sums even under zero cotangents).
     dx, dy = shape_ray(d[:, 0]), shape_ray(d[:, 1])
     dz = shape_ray(d[:, 2], fill=1.0)
+    # Validity mask: padding lanes start dead so they never extend the
+    # whole-tile early-exit depth loop (ADVICE r01).
+    live = shape_ray(jnp.ones((r,), jnp.float32))
 
     sph, pl_, tri, mat, light = pack_scene_tables(flat)
     kernel = _make_kernel(
@@ -500,13 +508,13 @@ def chain_trace_pallas(
         kernel,
         grid=(n_tiles,),
         in_specs=[smem(sph), smem(pl_), smem(tri), smem(mat), smem(light)]
-        + [ray_spec] * 6,
+        + [ray_spec] * 7,
         out_specs=(ray_spec, ray_spec, ray_spec),
         out_shape=tuple(
             jax.ShapeDtypeStruct((n_tiles * SUB, LANE), jnp.float32)
             for _ in range(3)
         ),
-    )(sph, pl_, tri, mat, light, ox, oy, oz, dx, dy, dz)
+    )(sph, pl_, tri, mat, light, ox, oy, oz, dx, dy, dz, live)
 
     rgb = jnp.stack([c.reshape(-1)[:r] for c in out], axis=-1)
     return rgb.astype(o.dtype)

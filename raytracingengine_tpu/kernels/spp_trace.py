@@ -58,6 +58,7 @@ def _make_spp_kernel(ns, np_, nt, nl, max_depth, bias, spp):
         cam_ref,  # SMEM [4]: pos_x, pos_y, pos_z, focal
         sph_ref, pl_ref, tri_ref, mat_ref, light_ref,
         sx_ref, sy_ref,  # base screen coords per lane [SUB, LANE]
+        live_ref,  # 0/1 validity (padding lanes dead, see chain_trace)
         r_ref, g_ref, b_ref,
     ):
         _seed_prng(seed_ref[0] + pl.program_id(0))
@@ -83,7 +84,7 @@ def _make_spp_kernel(ns, np_, nt, nl, max_depth, bias, spp):
                 sph_ref, pl_ref, tri_ref, mat_ref, light_ref,
                 ns, np_, nt, nl, max_depth, bias,
                 jnp.full(shape, cx), jnp.full(shape, cy), jnp.full(shape, cz),
-                ddx * inv, ddy * inv, ddz * inv,
+                ddx * inv, ddy * inv, ddz * inv, live_ref[:],
             )
             return ar + r, ag + g, ab + b
 
@@ -117,6 +118,7 @@ def spp_trace_pallas(flat: FlatScene, camera, cfg, px, py, seed: int = 0):
         )
 
     sx, sy = shape_lane(sx), shape_lane(sy)
+    live = shape_lane(jnp.ones((r,), jnp.float32))
     seed_arr = jnp.asarray([seed], jnp.int32)
     cam = jnp.stack(
         [
@@ -142,12 +144,12 @@ def spp_trace_pallas(flat: FlatScene, camera, cfg, px, py, seed: int = 0):
         grid=(n_tiles,),
         in_specs=[smem(seed_arr), smem(cam)]
         + [smem(t) for t in tables]
-        + [lane_spec, lane_spec],
+        + [lane_spec, lane_spec, lane_spec],
         out_specs=(lane_spec,) * 3,
         out_shape=tuple(
             jax.ShapeDtypeStruct((n_tiles * SUB, LANE), jnp.float32)
             for _ in range(3)
         ),
-    )(seed_arr, cam, *tables, sx, sy)
+    )(seed_arr, cam, *tables, sx, sy, live)
     rgb = jnp.stack([c.reshape(-1)[:r] for c in out], axis=-1)
     return rgb.astype(dtype)

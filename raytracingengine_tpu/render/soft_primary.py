@@ -3,18 +3,25 @@
 Hard closest-hit gives pixel colors that are piecewise-constant in
 geometry across silhouette edges — interior shading gradients exist (and
 match finite differences), but the *silhouette mismatch* term of an image
-loss has zero gradient, so center/radius recovery stalls (see
-tests/test_inverse_geometry.py). This module adds a SoftRas-style edge
-relaxation for the primary bounce:
+loss has zero gradient, so center/radius recovery stalls. This module
+adds a SoftRas-style edge relaxation for the primary bounce, as proper
+TWO-LAYER compositing:
 
   * per sphere, the ray's signed silhouette clearance
         delta_i = |closest_approach - c_i| - r_i
-    is smooth in (c_i, r_i); coverage = sigmoid(-delta_min / sigma),
-  * rays that *miss* every primitive but graze a sphere shade a
-    "pseudo-hit": the sphere point nearest the ray, with its true normal
-    and material,
-  * pixel = coverage * shaded + (1 - coverage) * sky, and the reflection
-    chain continues from the (pseudo-)hit with weight scaled by coverage.
+    is smooth in (c_i, r_i); the nearest-silhouette sphere j defines the
+    FRONT layer with coverage = sigmoid(-delta_j / sigma),
+  * the BACK layer is the true background: the closest hit with sphere
+    j's distance row masked out (geometry/intersect.hit_from_distances),
+    falling back to the sky on total miss — NOT sky unconditionally;
+    blending against sky where a wall or floor sits behind the sphere
+    biases every gradient at sphere-over-geometry edges,
+  * the front layer only composites where it is actually in front:
+    coverage is gated to 0 when the background surface is closer than
+    the sphere layer (a sphere behind a wall casts no silhouette),
+  * pixel = cov * shade(front) + (1 - cov) * shade(back), and the
+    reflection chain continues from BOTH layers with weights cov and
+    (1 - cov) respectively.
 
 sigma -> 0 recovers the hard renderer. Secondary bounces stay hard: the
 edge term that matters for inverse rendering is the primary silhouette.
@@ -24,8 +31,6 @@ silhouettes stay hard.
 
 from __future__ import annotations
 
-import dataclasses
-
 import jax
 import jax.numpy as jnp
 
@@ -34,31 +39,36 @@ from raytracingengine_tpu.geometry.intersect import (
     FAMILY_SPHERE,
     FlatScene,
     Hit,
+    all_distances,
     closest_hit,
+    hit_from_distances,
 )
 from raytracingengine_tpu.render.config import RenderConfig
 from raytracingengine_tpu.render.integrator import _chain_scan, _shade_from_hit
 from raytracingengine_tpu.render.shading import sky_color
 
 
-def soft_primary_hit(
+def soft_primary_layers(
     flat: FlatScene, o: jnp.ndarray, d: jnp.ndarray, cfg: RenderConfig
-) -> tuple[Hit, jnp.ndarray]:
-    """-> (hit-with-pseudo-fill, coverage [R]).
+) -> tuple[Hit, Hit, jnp.ndarray]:
+    """-> (front hit, background hit, coverage [R]).
 
-    Where the hard hit exists it is kept (coverage still <1 just inside a
-    sphere edge, letting gradients pull the edge). Where every primitive
-    misses, the nearest-grazed sphere provides a pseudo-hit so the
-    blended color is meaningful on the outside of the edge too.
+    Front: the nearest-silhouette sphere j — the hard hit where the ray
+    really intersects it, else a pseudo-hit at the sphere point nearest
+    the ray (true normal + material), so the blend is meaningful just
+    outside the edge too. Background: closest hit with sphere j excluded.
+    Coverage: sigmoid silhouette, gated to 0 where the background is in
+    front of the sphere layer.
     """
-    hit = closest_hit(flat, o, d)
     r = o.shape[0]
     sigma = cfg.soft_sigma
+    t_all = all_distances(flat, o, d)  # [N,R]
+    hit = hit_from_distances(flat, o, d, t_all)
 
     if flat.n_spheres == 0:
-        return hit, hit.valid.astype(o.dtype)
+        return hit, hit, hit.valid.astype(o.dtype)
 
-    # Signed clearance per sphere: [S, R] (rays on lanes).
+    # Signed clearance per sphere: [S, R].
     oc = flat.sph_centers[:, None, :] - o[None, :, :]  # [S,R,3]
     t_c = jnp.maximum(jnp.sum(oc * d[None, :, :], axis=-1), 0.0)  # [S,R]
     closest = o[None, :, :] + d[None, :, :] * t_c[..., None]  # [S,R,3]
@@ -68,33 +78,26 @@ def soft_primary_hit(
     delta = dist_c - flat.sph_radii[:, None]  # [S,R]
     delta = jnp.where(flat.sph_active[:, None], delta, jnp.inf)
 
-    j = jnp.argmin(delta, axis=0)  # nearest sphere per ray
+    j = jnp.argmin(delta, axis=0)  # nearest-silhouette sphere per ray
     ar = jnp.arange(r)
     delta_min = delta[j, ar]
     delta_min = jnp.where(jnp.isfinite(delta_min), delta_min, 1e6)
 
-    # Coverage: 1 deep inside the silhouette, 0 far outside. Hard hits of
-    # *non-sphere* geometry are fully covered.
-    cov_sphere = jax.nn.sigmoid(-delta_min / sigma)
-    non_sphere_hit = hit.valid & (hit.family != FAMILY_SPHERE)
-    coverage = jnp.where(non_sphere_hit, 1.0, cov_sphere)
-    # Rays that hard-hit a sphere well inside also read coverage ~1 from
-    # the sigmoid; keep max with the sphere-hit indicator for stability
-    # far from edges.
-    deep_inside = hit.valid & (hit.family == FAMILY_SPHERE) & (
-        delta_min < -2.0 * sigma
-    )
-    coverage = jnp.where(deep_inside, 1.0, coverage)
+    # Background: the scene without sphere j (spheres lead the flat
+    # primitive order, so global row index == j).
+    row = jax.lax.broadcasted_iota(jnp.int32, t_all.shape, 0)
+    t_bg = jnp.where(row == j[None, :], jnp.inf, t_all)
+    bg = hit_from_distances(flat, o, d, t_bg)
 
-    # Pseudo-hit on the nearest sphere surface for rays with no hard hit.
+    # Front layer: hard sphere-j hit where it exists, else pseudo-hit.
     c_j = flat.sph_centers[j]
     r_j = flat.sph_radii[j]
     n_pseudo = vm.normalize(closest[j, ar] - c_j)
     p_pseudo = c_j + n_pseudo * r_j[:, None]
     t_pseudo = t_c[j, ar]
 
-    use_pseudo = ~hit.valid
-    mat_j = j  # sphere block leads the flat material tables
+    hit_is_j = hit.valid & (hit.family == FAMILY_SPHERE) & (hit.index == j)
+    use_pseudo = ~hit_is_j
 
     def fill(field_hit, field_pseudo):
         mask = use_pseudo
@@ -102,22 +105,26 @@ def soft_primary_hit(
             mask = mask[:, None]
         return jnp.where(mask, field_pseudo, field_hit)
 
-    merged = Hit(
+    front = Hit(
         t=fill(hit.t, t_pseudo),
-        valid=hit.valid | use_pseudo,
+        valid=jnp.ones((r,), jnp.bool_),
         point=fill(hit.point, p_pseudo),
         normal=fill(hit.normal, n_pseudo),
-        albedo=fill(hit.albedo, flat.albedo[mat_j]),
-        shininess=fill(hit.shininess, flat.shininess[mat_j]),
-        specular=fill(hit.specular, flat.specular[mat_j]),
-        transparency=fill(hit.transparency, flat.transparency[mat_j]),
-        refractive_index=fill(
-            hit.refractive_index, flat.refractive_index[mat_j]
-        ),
-        family=jnp.where(use_pseudo, FAMILY_SPHERE, hit.family),
-        index=jnp.where(use_pseudo, mat_j.astype(jnp.int32), hit.index),
+        albedo=fill(hit.albedo, flat.albedo[j]),
+        shininess=fill(hit.shininess, flat.shininess[j]),
+        specular=fill(hit.specular, flat.specular[j]),
+        transparency=fill(hit.transparency, flat.transparency[j]),
+        refractive_index=fill(hit.refractive_index, flat.refractive_index[j]),
+        family=jnp.full((r,), FAMILY_SPHERE, jnp.int32),
+        index=j.astype(jnp.int32),
     )
-    return merged, coverage.astype(o.dtype)
+
+    cov = jax.nn.sigmoid(-delta_min / sigma)
+    # Depth gate: the silhouette only shows where the sphere layer is in
+    # front of the background surface.
+    in_front = ~bg.valid | (front.t < bg.t)
+    cov = jnp.where(in_front, cov, 0.0)
+    return front, bg, cov.astype(o.dtype)
 
 
 def integrate_chain_soft(
@@ -127,26 +134,46 @@ def integrate_chain_soft(
     cfg: RenderConfig,
     prim_axis: str | None = None,
 ) -> jnp.ndarray:
-    """Chain integrator with a soft-silhouette primary bounce."""
+    """Chain integrator with a two-layer soft-silhouette primary bounce."""
     r = o.shape[0]
     active = jnp.ones((r,), jnp.bool_)
-    merged, cov = soft_primary_hit(flat, o, d, cfg)
-    nd = _shade_from_hit(flat, merged, d, active, cfg, prim_axis)
+    front, bg, cov = soft_primary_layers(flat, o, d, cfg)
+
+    nd_f = _shade_from_hit(flat, front, d, active, cfg, prim_axis)
+    nd_b = _shade_from_hit(flat, bg, d, active, cfg, prim_axis)
 
     sky = sky_color(d)
-    accum = (1.0 - cov)[:, None] * sky
+    one_m_cov = 1.0 - cov
+    accum = jnp.where(
+        nd_b["miss"][:, None], one_m_cov[:, None] * sky, 0.0
+    )
     accum = accum + jnp.where(
-        nd["shade"][:, None], cov[:, None] * nd["local_term"], 0.0
+        nd_f["shade"][:, None], cov[:, None] * nd_f["local_term"], 0.0
+    )
+    accum = accum + jnp.where(
+        nd_b["shade"][:, None], one_m_cov[:, None] * nd_b["local_term"], 0.0
     )
 
-    cont = nd["has_refl"]
-    w1 = jnp.where(cont, cov * nd["refl_w"], 0.0)
+    # Reflection chains from both layers, weighted by their coverage.
+    cont_f = nd_f["has_refl"]
+    accum = _chain_scan(
+        flat,
+        jnp.where(cont_f[:, None], nd_f["refl_o"], o),
+        jnp.where(cont_f[:, None], nd_f["refl_dir"], d),
+        jnp.where(cont_f, cov * nd_f["refl_w"], 0.0),
+        cont_f,
+        accum,
+        1,
+        cfg,
+        prim_axis,
+    )
+    cont_b = nd_b["has_refl"]
     return _chain_scan(
         flat,
-        jnp.where(cont[:, None], nd["refl_o"], o),
-        jnp.where(cont[:, None], nd["refl_dir"], d),
-        w1,
-        cont,
+        jnp.where(cont_b[:, None], nd_b["refl_o"], o),
+        jnp.where(cont_b[:, None], nd_b["refl_dir"], d),
+        jnp.where(cont_b, one_m_cov * nd_b["refl_w"], 0.0),
+        cont_b,
         accum,
         1,
         cfg,

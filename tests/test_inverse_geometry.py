@@ -1,21 +1,32 @@
 """Geometry/lighting recovery by gradient descent (BASELINE config #4).
 
 Light position has smooth, well-posed pixel gradients (validated against
-finite differences in test_grad_fd.py) and recovers cleanly. Sphere
-center/radius recovery from *silhouette* mismatch requires soft primary
-visibility (edge-aware rendering), which hard closest-hit does not
-provide — interior shading gradients alone are not a descent direction
-for silhouette loss. That is intentionally out of scope for the hard
-renderer; the FD suite proves the interior gradients themselves correct.
+finite differences in test_grad_fd.py) and recovers cleanly.
+
+Sphere center/radius recovery needs the soft-silhouette primary bounce
+(render/soft_primary.py): hard closest-hit is piecewise-constant in
+geometry across silhouette edges, so the silhouette-mismatch term of the
+loss has zero gradient. With two-layer soft compositing (silhouette
+sphere over the TRUE background hit) plus sigma annealing
+(0.05 -> 0.015 -> 0.005, each stage re-sharpening the edge model toward
+the hard target), descent recovers a 0.5-unit center offset and a 20%
+radius error — `test_recover_sphere_center_and_radius` below.
 """
 
 import dataclasses
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
 
-from raytracingengine_tpu.inverse import fit, masked_optimizer, partition
+from raytracingengine_tpu.inverse import (
+    combine,
+    fit,
+    make_train_step,
+    masked_optimizer,
+    partition,
+)
 from raytracingengine_tpu.inverse.params import select
 from raytracingengine_tpu.render.config import RenderConfig
 from raytracingengine_tpu.render.pipeline import render_hdr
@@ -49,6 +60,59 @@ def test_recover_light_position():
     )
     start_err = np.linalg.norm([1.5, -1.0, 0.5])
     assert err < start_err * 0.35, f"light pos err {err} (start {start_err})"
+
+
+def test_recover_sphere_center_and_radius():
+    """BASELINE config #4 headline: recover a perturbed sphere's center
+    (offset 0.5 world units) and radius (+20%) by annealed soft-silhouette
+    descent against a HARD-rendered target image.
+
+    Acceptance (VERDICT r01 #5): recovered center error < 10% of the
+    perturbation, final hard-render L2 < 5% of the initial mismatch.
+    """
+    W = H = 48
+    scene_true, camera = baseline_sphere_scene(width=W, height=H, spp=1)
+    hard_cfg = RenderConfig(chunk_size=W * H, shadow_mode="binary")
+    target = render_hdr(scene_true, camera, hard_cfg)
+
+    sph = scene_true.spheres
+    center_delta = jnp.asarray([0.4, -0.3, 0.0], sph.centers.dtype)
+    scene0 = dataclasses.replace(
+        scene_true,
+        spheres=dataclasses.replace(
+            sph,
+            centers=sph.centers.at[0].add(center_delta),
+            radii=sph.radii.at[0].multiply(1.2),
+        ),
+    )
+    loss0 = float(jnp.mean((render_hdr(scene0, camera, hard_cfg) - target) ** 2))
+
+    params, static = partition(scene0)
+    mask = select(params, ["spheres.centers", "spheres.radii"])
+    key = jax.random.PRNGKey(0)
+    for sigma, lr, steps in [(0.05, 0.02, 200), (0.015, 0.008, 200), (0.005, 0.003, 200)]:
+        cfg = RenderConfig(
+            chunk_size=W * H, shadow_mode="binary", soft_primary=True,
+            soft_sigma=sigma,
+        )
+        opt = masked_optimizer(optax.adam(lr), mask)
+        opt_state = opt.init(params)
+        step_fn = make_train_step(camera, cfg, opt)
+        for _ in range(steps):
+            key, sub = jax.random.split(key)
+            params, opt_state, _, _ = step_fn(params, static, opt_state, target, sub)
+
+    fitted = combine(params, static)
+    c_err = float(
+        jnp.linalg.norm(fitted.spheres.centers[0] - scene_true.spheres.centers[0])
+    )
+    r_err = float(abs(fitted.spheres.radii[0] - scene_true.spheres.radii[0]))
+    loss_f = float(jnp.mean((render_hdr(fitted, camera, hard_cfg) - target) ** 2))
+
+    start_c = float(jnp.linalg.norm(center_delta))  # 0.5
+    assert c_err < 0.10 * start_c, f"center err {c_err} (start {start_c})"
+    assert r_err < 0.20 * 0.4, f"radius err {r_err} (start 0.4)"
+    assert loss_f < 0.05 * loss0, f"hard L2 {loss_f} vs initial {loss0}"
 
 
 def test_radius_gradient_is_finite_and_nonzero():

@@ -20,7 +20,7 @@ from raytracingengine_tpu.render.config import RenderConfig
 from raytracingengine_tpu.render.pipeline import render_hdr
 from raytracingengine_tpu.render.soft_primary import (
     integrate_chain_soft,
-    soft_primary_hit,
+    soft_primary_layers,
 )
 from raytracingengine_tpu.scenes.builders import baseline_sphere_scene
 
@@ -54,7 +54,7 @@ def test_coverage_monotone_in_radius():
         s = dataclasses.replace(
             scene, spheres=dataclasses.replace(sph, radii=sph.radii + dr)
         )
-        _, cov = soft_primary_hit(flatten_scene(s), o, d, cfg)
+        _, _, cov = soft_primary_layers(flatten_scene(s), o, d, cfg)
         return float(jnp.mean(cov))
 
     c = [mean_cov(dr) for dr in (-0.2, 0.0, 0.2)]
@@ -95,8 +95,8 @@ def test_pseudo_hit_materials():
     cfg = _cfg(sigma=0.3)
     flat = flatten_scene(scene)
     o, d = camera.rays_for_pixels(*camera.pixel_grid())
-    merged, cov = soft_primary_hit(flat, o, d, cfg)
-    # All lanes now have a "hit" (real or pseudo)
+    merged, _, cov = soft_primary_layers(flat, o, d, cfg)
+    # All front-layer lanes have a "hit" (real or pseudo)
     assert bool(jnp.all(merged.valid))
     # Pseudo normals are unit
     n = np.linalg.norm(np.asarray(merged.normal), axis=1)
