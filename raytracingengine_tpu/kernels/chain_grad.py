@@ -15,9 +15,12 @@ Strategy — checkpointed adjoint inside one Pallas kernel:
     depth loop re-runs each bounce under `jax.vjp` — JAX derives the
     bounce adjoint, Mosaic compiles it fused — accumulating cotangents
     for every table entry and propagating the ray-state cotangent,
-  * per-tile table cotangents leave the kernel as partial-sum outputs
-    ([n_tiles, ...]) and are summed by XLA; the pullback from tables to
-    the user-facing Scene pytree is jax.vjp through the (pure JAX)
+  * table cotangents accumulate IN the output refs across grid steps:
+    the TPU grid is sequential and a constant index_map keeps the block
+    resident in VMEM across revisits, so tile 0 zero-initializes and
+    every tile adds its contribution — no [n_tiles, ...] partials in
+    HBM, no XLA reduction afterwards. The pullback from tables to the
+    user-facing Scene pytree is jax.vjp through the (pure JAX)
     table-packing function, so derived quantities (r^2, edges, pn,
     emitted = color * intensity) chain automatically.
 
@@ -378,12 +381,21 @@ def _make_grad_kernel(ns, np_, nt, nl, max_depth, bias, table_shapes):
             0, nd, bwd_body, (state_cot, gt0)
         )
 
-        # outputs carry a leading grid-block dim of size 1
-        gsph_ref[0] = gt[0]
-        gpl_ref[0] = gt[1]
-        gtri_ref[0] = gt[2]
-        gmat_ref[0] = gt[3]
-        glight_ref[0] = gt[4]
+        # Accumulate across the (sequential) grid: constant index_map
+        # keeps these blocks VMEM-resident between tiles; tile 0 seeds,
+        # later tiles add, and only the final sums reach HBM.
+        first = pl.program_id(0) == 0
+        table_refs = (gsph_ref, gpl_ref, gtri_ref, gmat_ref, glight_ref)
+
+        @pl.when(first)
+        def _():
+            for ref, g in zip(table_refs, gt):
+                ref[...] = g
+
+        @pl.when(jnp.logical_not(first))
+        def _():
+            for ref, g in zip(table_refs, gt):
+                ref[...] += g
         # primary-ray cotangents (camera gradients)
         gox_ref[:] = state_cot[0]
         goy_ref[:] = state_cot[1]
@@ -430,19 +442,18 @@ def chain_grad_pallas(flat: FlatScene, o, d, gbar, cfg):
         t.shape, lambda i: tuple(0 for _ in t.shape), memory_space=pltpu.VMEM
     )
     ray_spec = pl.BlockSpec((SUB, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    # per-tile partial table grads: [n_tiles, *shape]. Bind the shape via
-    # a default arg — a loop-variable closure would late-bind to the last
-    # shape.
+    # Table-grad outputs: one block each, constant index_map -> the block
+    # is revisited every grid step and the kernel accumulates into it.
+    # Bind the rank via a default arg — a loop-variable closure would
+    # late-bind to the last shape.
     out_specs = tuple(
         pl.BlockSpec(
-            (1,) + s,
-            lambda i, _nz=len(s): (i,) + (0,) * _nz,
-            memory_space=pltpu.VMEM,
+            s, lambda i, _nz=len(s): (0,) * _nz, memory_space=pltpu.VMEM
         )
         for s in table_shapes
     ) + (ray_spec,) * 6
     out_shape = tuple(
-        jax.ShapeDtypeStruct((n_tiles,) + s, jnp.float32) for s in table_shapes
+        jax.ShapeDtypeStruct(s, jnp.float32) for s in table_shapes
     ) + tuple(
         jax.ShapeDtypeStruct((n_tiles * SUB, LANE), jnp.float32)
         for _ in range(6)
@@ -458,7 +469,7 @@ def chain_grad_pallas(flat: FlatScene, o, d, gbar, cfg):
             pltpu.VMEM((cfg.max_depth, 8, SUB, LANE), jnp.float32)
         ],
     )(*tables, ox, oy, oz, dx, dy, dz, live, gr, gg, gb)
-    table_grads = tuple(jnp.sum(g, axis=0) for g in outs[:5])
+    table_grads = tuple(outs[:5])
     ray_grads = outs[5:]
 
     def unshape(x):

@@ -14,12 +14,22 @@ kernel runs the entire sample loop inside one Pallas program:
   * each sample reuses the fused chain trace (_trace_tile) and
     accumulates; one HBM write of the mean per pixel.
 
-Forward-only (rendering path): sample jitters are generated in-kernel,
-so autodiff would need the adjoint to replay the same randomness —
-training uses spp=1 (chain_trace_fused) where the AA loop is identity.
+Two variants:
+
+  * `spp_trace_pallas` — forward-only rendering path: jitter from the
+    TPU hardware PRNG, generated in-kernel (fastest, no jitter HBM
+    traffic, but the randomness cannot be replayed by an adjoint).
+  * `spp_trace_fused` — the differentiable AA loop: jitter arrives as an
+    explicit [spp, R] array (sample 0's row is zeros), the forward
+    kernel replays it sample-by-sample in the same fused loop, and a
+    custom VJP re-runs each sample's rays through the checkpointed
+    backward kernel (chain_grad_pallas) with cotangent gbar/spp —
+    exact gradients of the primal, scene AND camera leaves.
 """
 
 from __future__ import annotations
+
+import functools
 
 import jax
 import jax.numpy as jnp

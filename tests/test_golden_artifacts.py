@@ -1,0 +1,52 @@
+"""Regression tests against the pinned golden images in goldens/.
+
+The reference checks rendered goldens into its repo
+(/root/reference/README.md:5-24: output.ppm + 7 tonemap PNGs); these
+tests are the equivalent practice. goldens/*.ppm were produced by the
+fp64 CPU oracle (goldens/generate.py); the production fp32 pipeline must
+reproduce them to within one LDR quantization step, with >=95% of bytes
+exact — the same budget the oracle-parity tests use, now pinned to bytes
+on disk so any future regression diffs against a fixed artifact.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from raytracingengine_tpu.imageio import read_ppm
+from raytracingengine_tpu.render.config import RenderConfig
+from raytracingengine_tpu.render.pipeline import render_hdr
+from raytracingengine_tpu.scenes.builders import (
+    baseline_sphere_scene,
+    glass_sphere_scene,
+    head_box_scene,
+)
+from raytracingengine_tpu.tonemap import OPERATORS, to_uint8
+
+GOLDEN_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "goldens")
+SIZE = 128
+
+SCENES = {
+    "head_box": lambda: head_box_scene(width=SIZE, height=SIZE, spp=1),
+    "baseline_spheres": lambda: baseline_sphere_scene(
+        width=SIZE, height=SIZE, spp=1, n_lights=2
+    ),
+    "glass": lambda: glass_sphere_scene(width=SIZE, height=SIZE, spp=1),
+}
+
+
+@pytest.mark.parametrize("scene_name", sorted(SCENES))
+@pytest.mark.parametrize("op", ["aces", "simple"])
+def test_pipeline_matches_pinned_golden(scene_name, op):
+    path = os.path.join(GOLDEN_DIR, f"{scene_name}_{SIZE}_{op}.ppm")
+    if not os.path.exists(path):
+        pytest.skip(f"golden artifact missing: {path} (run goldens/generate.py)")
+    gold = read_ppm(path)
+    scene, camera = SCENES[scene_name]()
+    hdr = np.asarray(render_hdr(scene, camera, RenderConfig(chunk_size=SIZE * SIZE)))
+    ours = np.asarray(to_uint8(OPERATORS[op](hdr)))
+    diff = np.abs(ours.astype(int) - gold.astype(int))
+    assert diff.max() <= 1, f"{scene_name}/{op}: max LDR diff {diff.max()}"
+    frac_exact = (diff == 0).mean()
+    assert frac_exact > 0.95, f"{scene_name}/{op}: only {frac_exact:.1%} bytes exact"

@@ -1,0 +1,121 @@
+"""TPU kernel smoke test: Mosaic-compile every Pallas kernel on one tile.
+
+CI runs all kernel tests in interpreter mode on CPU (tests/conftest.py)
+because Mosaic has no CPU lowering; only bench.py exercised the real
+compile, so a Mosaic regression would surface at bench time (VERDICT r01
+weak #5). This script compiles and runs each kernel on the real TPU with
+a single tile of rays and checks numerics against the XLA integrator:
+
+  1. chain_trace_pallas      (fused forward, kernels/chain_trace.py)
+  2. spp_trace_pallas        (in-kernel AA loop, kernels/spp_trace.py)
+  3. chain_grad_pallas       (checkpointed-adjoint backward, via
+                              jax.grad of chain_trace_fused)
+
+Run on TPU: python tpu_smoke.py    (exits nonzero on any failure)
+Minutes, not bench-time: one tile (TILE rays) per kernel, small scene.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from raytracingengine_tpu.utils.tpu import setup_compile_cache  # noqa: E402
+
+setup_compile_cache()
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+
+def main() -> int:
+    dev = jax.devices()[0]
+    print(f"device: {dev.platform} {dev.device_kind}", flush=True)
+    if dev.platform != "tpu":
+        print("SKIP: not a TPU backend — smoke test is for Mosaic compiles")
+        return 0
+
+    from raytracingengine_tpu.geometry.intersect import flatten_scene
+    from raytracingengine_tpu.kernels.chain_grad import chain_trace_fused
+    from raytracingengine_tpu.kernels.chain_trace import TILE, chain_trace_pallas
+    from raytracingengine_tpu.kernels.spp_trace import spp_trace_pallas
+    from raytracingengine_tpu.render.config import RenderConfig
+    from raytracingengine_tpu.render.integrator import integrate_chain
+    from raytracingengine_tpu.scenes.builders import head_box_scene
+
+    # One tile of pixels: TILE rays (128 x TILE//128 image).
+    w, h = 128, TILE // 128
+    failures = 0
+
+    def check(name, ours, ref, atol):
+        # Mosaic and XLA contract FMAs differently, so a handful of
+        # pixels sitting exactly on a hit/shadow tie flip their binary
+        # visibility — full-contribution diffs on <=0.1% of pixels are
+        # seam ties, not kernel bugs (same budget as
+        # tests/test_reference_parity.py). Everything else must agree.
+        nonlocal failures
+        ours = np.asarray(ours)
+        diff = np.abs(ours - ref)
+        frac_bad = float((diff.max(axis=-1) > atol).mean())
+        ok = np.isfinite(ours).all() and frac_bad <= 1e-3
+        print(f"{'PASS' if ok else 'FAIL'} {name} "
+              f"(max|diff|={diff.max():.2e}, frac>tol={frac_bad:.2e})",
+              flush=True)
+        failures += 0 if ok else 1
+
+    cfg = RenderConfig(shadow_mode="binary")
+    scene, camera = head_box_scene(width=w, height=h, spp=1)
+    flat = flatten_scene(scene)
+    o, d = camera.rays_for_pixels(*camera.pixel_grid())
+    ref = np.asarray(jax.jit(lambda: integrate_chain(flat, o, d, cfg))())
+
+    t0 = time.time()
+    fwd = jax.jit(lambda oo, dd: chain_trace_pallas(flat, oo, dd, cfg))
+    check("chain_trace (fwd kernel)", fwd(o, d), ref, atol=1e-4)
+    print(f"  compile+run {time.time() - t0:.1f}s", flush=True)
+
+    # spp kernel at spp=1 is exactly the center-ray trace -> same ref.
+    _, cam_spp = head_box_scene(width=w, height=h, spp=1)
+    px, py = cam_spp.pixel_grid()
+    t0 = time.time()
+    spp_fn = jax.jit(lambda: spp_trace_pallas(flat, cam_spp, cfg, px, py, 7))
+    check("spp_trace (AA kernel, spp=1)", spp_fn().reshape(-1, 3), ref, atol=1e-4)
+    print(f"  compile+run {time.time() - t0:.1f}s", flush=True)
+
+    # Backward kernel: grads of a scalar loss w.r.t. scene + rays, vs the
+    # XLA integrator's autodiff on the same loss.
+    def loss_fused(fl, oo, dd):
+        return jnp.sum(chain_trace_fused(fl, oo, dd, cfg) ** 2)
+
+    def loss_xla(fl, oo, dd):
+        return jnp.sum(integrate_chain(fl, oo, dd, cfg) ** 2)
+
+    t0 = time.time()
+    g_fused = jax.jit(jax.grad(loss_fused, argnums=(0, 1, 2), allow_int=True))(flat, o, d)
+    g_ref = jax.jit(jax.grad(loss_xla, argnums=(0, 1, 2), allow_int=True))(flat, o, d)
+    leaves_f = [x for x in jax.tree.leaves(g_fused)
+                if jnp.issubdtype(x.dtype, jnp.floating) and x.size]
+    leaves_r = [x for x in jax.tree.leaves(g_ref)
+                if jnp.issubdtype(x.dtype, jnp.floating) and x.size]
+    rel = max(
+        float(jnp.max(jnp.abs(a - b)) / (jnp.max(jnp.abs(b)) + 1e-6))
+        for a, b in zip(leaves_f, leaves_r)
+    )
+    finite = all(bool(jnp.isfinite(a).all()) for a in leaves_f)
+    grad_l1 = sum(float(jnp.sum(jnp.abs(a))) for a in leaves_f)
+    max_diff = rel
+    ok = finite and rel < 5e-2 and grad_l1 > 0.0
+    print(f"{'PASS' if ok else 'FAIL'} chain_grad (bwd kernel) "
+          f"(max|diff|={max_diff:.2e}, grad_l1={grad_l1:.3e})", flush=True)
+    failures += 0 if ok else 1
+    print(f"  compile+run {time.time() - t0:.1f}s", flush=True)
+
+    print(f"{3 - failures}/3 kernels PASS")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
