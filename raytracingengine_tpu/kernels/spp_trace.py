@@ -14,17 +14,14 @@ kernel runs the entire sample loop inside one Pallas program:
   * each sample reuses the fused chain trace (_trace_tile) and
     accumulates; one HBM write of the mean per pixel.
 
-Two variants:
-
-  * `spp_trace_pallas` — forward-only rendering path: jitter from the
-    TPU hardware PRNG, generated in-kernel (fastest, no jitter HBM
-    traffic, but the randomness cannot be replayed by an adjoint).
-  * `spp_trace_fused` — the differentiable AA loop: jitter arrives as an
-    explicit [spp, R] array (sample 0's row is zeros), the forward
-    kernel replays it sample-by-sample in the same fused loop, and a
-    custom VJP re-runs each sample's rays through the checkpointed
-    backward kernel (chain_grad_pallas) with cotangent gbar/spp —
-    exact gradients of the primal, scene AND camera leaves.
+This kernel is the forward-only rendering path: jitter comes from the
+hardware PRNG, generated in-kernel (fastest, no jitter HBM traffic),
+but the randomness cannot be replayed by an adjoint, so it carries no
+VJP. Differentiable spp>1 rendering sets `cfg.differentiable`, and the
+pipeline (render/pipeline.py:_render_chunk) traces each sample through
+the fused forward+backward kernels (kernels/chain_grad.chain_trace_fused)
+with explicit counter-based jitter instead — spp>1 training stays on
+Pallas, at exact gradients for scene AND camera leaves.
 """
 
 from __future__ import annotations

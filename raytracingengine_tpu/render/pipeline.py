@@ -69,8 +69,14 @@ def _render_chunk(
         from raytracingengine_tpu.kernels.chain_trace import pallas_applicable
 
         if pallas_applicable(flat, cfg, mode):
-            if camera.spp > 1:
-                # whole AA loop fused in-kernel (forward-only render path)
+            if camera.spp > 1 and not cfg.differentiable:
+                # whole AA loop fused in-kernel with the hardware PRNG —
+                # the fastest render path, but its jitter cannot be
+                # replayed by an adjoint. With cfg.differentiable the
+                # sample loop below runs instead, tracing each sample
+                # through the fused forward+backward kernels with
+                # explicit counter-based jitter: spp>1 TRAINING goes
+                # through Pallas too, at exact gradients.
                 from raytracingengine_tpu.kernels.spp_trace import (
                     spp_trace_pallas,
                 )

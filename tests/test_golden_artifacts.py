@@ -7,6 +7,15 @@ fp64 CPU oracle (goldens/generate.py); the production fp32 pipeline must
 reproduce them to within one LDR quantization step, with >=95% of bytes
 exact — the same budget the oracle-parity tests use, now pinned to bytes
 on disk so any future regression diffs against a fixed artifact.
+
+Seam ties: on geometric silhouettes (box edges over walls) fp32 and fp64
+can pick different closest primitives for a ray that grazes the edge, so
+a per-scene handful of pixels differ by a whole shading level rather than
+one quantization step. tests/test_reference_parity.py budgets these at
+2e-5 of pixels at 1920x1080; here the same class gets <=1e-3 (edges are
+proportionally wider at 128px), and each such pixel must reproduce one of
+its golden neighbors exactly — a real shading regression shifts values
+off-edge and fails both gates.
 """
 
 import os
@@ -47,6 +56,19 @@ def test_pipeline_matches_pinned_golden(scene_name, op):
     hdr = np.asarray(render_hdr(scene, camera, RenderConfig(chunk_size=SIZE * SIZE)))
     ours = np.asarray(to_uint8(OPERATORS[op](hdr)))
     diff = np.abs(ours.astype(int) - gold.astype(int))
-    assert diff.max() <= 1, f"{scene_name}/{op}: max LDR diff {diff.max()}"
+    seam_ys, seam_xs = np.nonzero(diff.max(axis=2) > 1)
+    assert len(seam_ys) <= max(4, int(1e-3 * SIZE * SIZE)), (
+        f"{scene_name}/{op}: {len(seam_ys)} pixels beyond 1 LDR step"
+    )
+    for y, x in zip(seam_ys, seam_xs):
+        neighbors = [
+            gold[yy, xx]
+            for yy, xx in ((y - 1, x), (y + 1, x), (y, x - 1), (y, x + 1))
+            if 0 <= yy < SIZE and 0 <= xx < SIZE
+        ]
+        assert any(np.array_equal(ours[y, x], n) for n in neighbors), (
+            f"{scene_name}/{op}: pixel ({y},{x}) ours={ours[y, x]} "
+            f"gold={gold[y, x]} is not a silhouette seam tie"
+        )
     frac_exact = (diff == 0).mean()
     assert frac_exact > 0.95, f"{scene_name}/{op}: only {frac_exact:.1%} bytes exact"

@@ -6,6 +6,7 @@ import numpy as np
 import pytest
 from jax.experimental import pallas as pl
 
+import raytracingengine_tpu.kernels.chain_grad as cg
 import raytracingengine_tpu.kernels.chain_trace as ct
 import raytracingengine_tpu.kernels.spp_trace as st
 from raytracingengine_tpu.geometry.intersect import flatten_scene
@@ -25,6 +26,7 @@ def _interpret_mode(monkeypatch):
     monkeypatch.setattr(pl, "pallas_call", patched)
     monkeypatch.setattr(ct.pl, "pallas_call", patched)
     monkeypatch.setattr(st.pl, "pallas_call", patched)
+    monkeypatch.setattr(cg.pl, "pallas_call", patched)
 
     # TPU PRNG primitives have no CPU lowering; substitute a hash-based
     # software stream (deterministic per call sequence).
@@ -75,6 +77,44 @@ def test_spp_kernel_through_pipeline():
     img = np.asarray(render_hdr(scene, camera, cfg))
     assert img.shape == (16, 16, 3)
     assert np.isfinite(img).all() and img.std() > 0.05
+
+
+def test_spp_training_routes_through_fused_kernels():
+    """spp>1 + use_pallas + differentiable: the pipeline traces every
+    sample through the fused fwd+bwd kernels (chain_trace_fused) with
+    explicit replayable jitter — jax.grad works and matches the XLA
+    path's gradients (same jitter stream, numerically matching kernels)."""
+    scene, camera = baseline_sphere_scene(width=16, height=16, spp=3)
+    key = jax.random.PRNGKey(7)
+
+    def make_loss(use_pallas):
+        cfg = RenderConfig(
+            shadow_mode="binary",
+            chunk_size=256,
+            use_pallas=use_pallas,
+            differentiable=True,
+            max_depth=4,
+        )
+        return lambda s: jnp.sum(render_hdr(s, camera, cfg, key=key) ** 2)
+
+    lk, lx = make_loss(True), make_loss(False)
+    np.testing.assert_allclose(float(lk(scene)), float(lx(scene)), rtol=1e-5)
+    gk = jax.grad(lk, allow_int=True)(scene)
+    gx = jax.grad(lx, allow_int=True)(scene)
+    total = 0.0
+    for (path, a), b in zip(
+        jax.tree_util.tree_flatten_with_path(gk)[0], jax.tree.leaves(gx)
+    ):
+        a_, b_ = np.asarray(a), np.asarray(b)
+        if not np.issubdtype(a_.dtype, np.floating) or b_.size == 0:
+            continue
+        scale = np.abs(b_).max() + 1e-6
+        np.testing.assert_allclose(
+            a_, b_, rtol=5e-3, atol=2e-3 * scale,
+            err_msg=jax.tree_util.keystr(path),
+        )
+        total += float(np.abs(a_).sum())
+    assert total > 0.0  # gradients actually flow
 
 
 def test_software_uniform_range():
