@@ -85,21 +85,32 @@ def main() -> int:
     check("spp_trace (AA kernel, spp=1)", spp_fn().reshape(-1, 3), ref, atol=1e-4)
     print(f"  compile+run {time.time() - t0:.1f}s", flush=True)
 
-    # Backward kernel: grads of a scalar loss w.r.t. scene + rays, vs the
-    # XLA integrator's autodiff on the same loss.
-    def loss_fused(fl, oo, dd):
-        return jnp.sum(chain_trace_fused(fl, oo, dd, cfg) ** 2)
+    # Backward kernel: grads of a scalar loss w.r.t. the user-facing SCENE
+    # parameters, vs the XLA integrator's autodiff on the same loss.
+    # NOTE: FlatScene-level leafwise comparison is INVALID here — FlatScene
+    # carries redundant derived triangle/plane fields and the Pallas kernel
+    # reads a different subset (v0/e1/e2/nunit) than the XLA integrator
+    # (ngeo/k/c1/c2/aux), so each implementation's cotangents land on
+    # different leaves of the same mathematical gradient. Pulling both back
+    # to Scene parameters (inverse.partition) makes them comparable — and
+    # that is the space training actually optimizes in.
+    from raytracingengine_tpu.inverse import combine, partition
 
-    def loss_xla(fl, oo, dd):
-        return jnp.sum(integrate_chain(fl, oo, dd, cfg) ** 2)
+    params, static = partition(scene)
+
+    def loss_fused(p):
+        fl = flatten_scene(combine(p, static))
+        return jnp.sum(chain_trace_fused(fl, o, d, cfg) ** 2)
+
+    def loss_xla(p):
+        fl = flatten_scene(combine(p, static))
+        return jnp.sum(integrate_chain(fl, o, d, cfg) ** 2)
 
     t0 = time.time()
-    g_fused = jax.jit(jax.grad(loss_fused, argnums=(0, 1, 2), allow_int=True))(flat, o, d)
-    g_ref = jax.jit(jax.grad(loss_xla, argnums=(0, 1, 2), allow_int=True))(flat, o, d)
-    leaves_f = [x for x in jax.tree.leaves(g_fused)
-                if jnp.issubdtype(x.dtype, jnp.floating) and x.size]
-    leaves_r = [x for x in jax.tree.leaves(g_ref)
-                if jnp.issubdtype(x.dtype, jnp.floating) and x.size]
+    g_fused = jax.jit(jax.grad(loss_fused))(params)
+    g_ref = jax.jit(jax.grad(loss_xla))(params)
+    leaves_f = [x for x in jax.tree.leaves(g_fused) if x.size]
+    leaves_r = [x for x in jax.tree.leaves(g_ref) if x.size]
     rel = max(
         float(jnp.max(jnp.abs(a - b)) / (jnp.max(jnp.abs(b)) + 1e-6))
         for a, b in zip(leaves_f, leaves_r)
