@@ -200,7 +200,7 @@ def _any_hit_unrolled(tables, ns, np_, nt, ox, oy, oz, dx, dy, dz, lo, hi):
     return occ > 0.0
 
 
-def _make_bounce(ns, np_, nt, nl, bias):
+def _make_bounce(ns, np_, nt, nl, bias, min_weight=0.0):
     """(state, tables) -> (new_state, (cr, cg, cb)): one Whitted bounce
     with binary shadows; pure function of its inputs (vjp-able).
     state = (ox, oy, oz, dx, dy, dz, w, live_f)."""
@@ -286,7 +286,7 @@ def _make_bounce(ns, np_, nt, nl, bias):
         cg += jnp.where(shade, weight * one_m_tau * (ag * diff_g + spec_g * spec), 0.0)
         cb += jnp.where(shade, weight * one_m_tau * (ab * diff_b + spec_b * spec), 0.0)
 
-        cont = shade & (spec > bias)
+        cont = shade & (spec > bias) & (weight * spec >= min_weight)
         ddn = dx * nx + dy * ny + dz * nz
         rx = dx - 2.0 * ddn * nx
         ry = dy - 2.0 * ddn * ny
@@ -310,6 +310,139 @@ def _make_bounce(ns, np_, nt, nl, bias):
     return bounce
 
 
+def _closest_hit_state(tables, ns, np_, nt, ox, oy, oz, dx, dy, dz):
+    """Reduced linear scan for the checkpoint loop: only the fields the
+    ray-state update needs (t, n, specular) ride the carry — no albedo/
+    shininess/transparency. Predicates and tie-breaks are identical to
+    `_closest_hit_unrolled`, so the produced state sequence is bitwise
+    the same while the scan carry shrinks 10 -> 5 fields."""
+    sph, pl_, tri, mat, _ = tables
+    shape = ox.shape
+    carry = jnp.concatenate(
+        [jnp.full((1,) + shape, _INF), jnp.zeros((4,) + shape)], axis=0
+    )
+    a_coef = dx * dx + dy * dy + dz * dz
+
+    def upd(carry, t_new, hit, n3, gi):
+        t = carry[0]
+        closer = hit & (t_new < t)
+        nxn, nyn, nzn = n3
+        one = jnp.ones(shape)
+        new = jnp.stack([t_new, nxn, nyn, nzn, mat[3, gi] * one])
+        return jnp.where(closer[None], new, carry)
+
+    for i in range(ns):
+        cx, cy, cz, r2 = sph[0, i], sph[1, i], sph[2, i], sph[3, i]
+        ocx, ocy, ocz = ox - cx, oy - cy, oz - cz
+        b = 2.0 * (ocx * dx + ocy * dy + ocz * dz)
+        c = ocx * ocx + ocy * ocy + ocz * ocz - r2
+        disc = b * b - 4.0 * a_coef * c
+        ok = disc >= 0.0
+        sq = jnp.sqrt(jnp.where(ok, jnp.maximum(disc, 0.0), 1.0))
+        inv2a = 0.5 / a_coef
+        tt0 = (-b - sq) * inv2a
+        tt1 = (-b + sq) * inv2a
+        t_new = jnp.where(tt0 >= EPS, tt0, tt1)
+        hit = ok & (t_new >= EPS)
+        px = ox + dx * t_new
+        py = oy + dy * t_new
+        pz = oz + dz * t_new
+        gx, gy, gz = px - cx, py - cy, pz - cz
+        g2 = gx * gx + gy * gy + gz * gz
+        g_ok = g2 > 1e-16
+        inv = jnp.where(g_ok, jax.lax.rsqrt(jnp.where(g_ok, g2, 1.0)), 0.0)
+        carry = upd(carry, t_new, hit, (gx * inv, gy * inv, gz * inv), i)
+
+    for i in range(np_):
+        nx_, ny_, nz_, pn = pl_[0, i], pl_[1, i], pl_[2, i], pl_[3, i]
+        denom = dx * nx_ + dy * ny_ + dz * nz_
+        ok = jnp.abs(denom) > EPS
+        on = ox * nx_ + oy * ny_ + oz * nz_
+        t_new = (pn - on) / jnp.where(ok, denom, 1.0)
+        hit = ok & (t_new >= 0.0)
+        one = jnp.ones(shape)
+        carry = upd(carry, t_new, hit, (nx_ * one, ny_ * one, nz_ * one), ns + i)
+
+    for i in range(nt):
+        v0x, v0y, v0z = tri[0, i], tri[1, i], tri[2, i]
+        e1x, e1y, e1z = tri[3, i], tri[4, i], tri[5, i]
+        e2x, e2y, e2z = tri[6, i], tri[7, i], tri[8, i]
+        nux, nuy, nuz = tri[9, i], tri[10, i], tri[11, i]
+        hx = dy * e2z - dz * e2y
+        hy = dz * e2x - dx * e2z
+        hz = dx * e2y - dy * e2x
+        a = e1x * hx + e1y * hy + e1z * hz
+        ok = jnp.abs(a) > EPS
+        f = 1.0 / jnp.where(ok, a, 1.0)
+        sx, sy, sz = ox - v0x, oy - v0y, oz - v0z
+        u = f * (sx * hx + sy * hy + sz * hz)
+        qx = sy * e1z - sz * e1y
+        qy = sz * e1x - sx * e1z
+        qz = sx * e1y - sy * e1x
+        v = f * (dx * qx + dy * qy + dz * qz)
+        t_new = f * (e2x * qx + e2y * qy + e2z * qz)
+        hit = (
+            ok & (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (u + v <= 1.0)
+            & (t_new > EPS)
+        )
+        one = jnp.ones(shape)
+        carry = upd(
+            carry, t_new, hit, (nux * one, nuy * one, nuz * one), ns + np_ + i
+        )
+
+    return tuple(carry[i] for i in range(5))
+
+
+def _make_state_bounce(ns, np_, nt, bias, min_weight=0.0):
+    """State-only bounce for the forward checkpoint loop: the ray-state
+    update (closest hit + reflection chain) WITHOUT the lighting/shadow
+    work — the state sequence does not depend on radiance, and the
+    checkpoint loop discards rgb anyway, so the lighting (~60% of a full
+    bounce: one any-hit scan per light plus Blinn-Phong) is pure waste
+    there. The full `bounce` still runs (under jax.vjp) in the reverse
+    loop where its rgb IS needed."""
+
+    def state_bounce(state, tables):
+        ox, oy, oz, dx, dy, dz, weight, live_f = state
+        live = live_f > 0.0
+        (t, nx, ny, nz, spec) = _closest_hit_state(
+            tables, ns, np_, nt, ox, oy, oz, dx, dy, dz
+        )
+        hit = t < _INF
+        shade = live & hit
+
+        ndotd = nx * dx + ny * dy + nz * dz
+        flip = jnp.where(ndotd < 0.0, 1.0, -1.0)
+        nx, ny, nz = nx * flip, ny * flip, nz * flip
+
+        t_safe = jnp.where(hit, t, 0.0)
+        px = ox + dx * t_safe
+        py = oy + dy * t_safe
+        pz = oz + dz * t_safe
+
+        cont = shade & (spec > bias) & (weight * spec >= min_weight)
+        ddn = dx * nx + dy * ny + dz * nz
+        rx = dx - 2.0 * ddn * nx
+        ry = dy - 2.0 * ddn * ny
+        rz = dz - 2.0 * ddn * nz
+        r2 = rx * rx + ry * ry + rz * rz
+        r_ok = r2 > 1e-16
+        invr = jnp.where(r_ok, jax.lax.rsqrt(jnp.where(r_ok, r2, 1.0)), 0.0)
+        rx, ry, rz = rx * invr, ry * invr, rz * invr
+        return (
+            jnp.where(cont, px + rx * bias, ox),
+            jnp.where(cont, py + ry * bias, oy),
+            jnp.where(cont, pz + rz * bias, oz),
+            jnp.where(cont, rx, dx),
+            jnp.where(cont, ry, dy),
+            jnp.where(cont, rz, dz),
+            jnp.where(cont, weight * spec, weight),
+            cont.astype(jnp.float32),
+        )
+
+    return state_bounce
+
+
 def _final_sky(state):
     """Depth-exhaustion sky term (differentiable in d and w)."""
     ox, oy, oz, dx, dy, dz, weight, live_f = state
@@ -321,8 +454,10 @@ def _final_sky(state):
     return cr, cg, cb
 
 
-def _make_grad_kernel(ns, np_, nt, nl, max_depth, bias, table_shapes):
-    bounce = _make_bounce(ns, np_, nt, nl, bias)
+def _make_grad_kernel(ns, np_, nt, nl, max_depth, bias, table_shapes,
+                      min_weight=0.0):
+    bounce = _make_bounce(ns, np_, nt, nl, bias, min_weight)
+    state_bounce = _make_state_bounce(ns, np_, nt, bias, min_weight)
     n_state = 8
 
     def kernel(
@@ -353,8 +488,7 @@ def _make_grad_kernel(ns, np_, nt, nl, max_depth, bias, table_shapes):
         def fwd_body(c):
             dpt, state = c
             states_ref[dpt] = jnp.stack(state)
-            new_state, _ = bounce(state, tables)
-            return dpt + 1, new_state
+            return dpt + 1, state_bounce(state, tables)
 
         nd, state_T = jax.lax.while_loop(
             fwd_cond, fwd_body, (jnp.int32(0), state0)
@@ -435,7 +569,7 @@ def chain_grad_pallas(flat: FlatScene, o, d, gbar, cfg):
     table_shapes = tuple(t.shape for t in tables)
     kernel = _make_grad_kernel(
         flat.n_spheres, flat.n_planes, flat.n_triangles, flat.n_lights,
-        cfg.max_depth, cfg.bias, table_shapes,
+        cfg.max_depth, cfg.bias, table_shapes, cfg.min_weight,
     )
 
     vmem_full = lambda t: pl.BlockSpec(

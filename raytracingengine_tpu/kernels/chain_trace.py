@@ -236,7 +236,7 @@ def _any_hit(sph, pl_, tri, ns, np_, nt, ox, oy, oz, dx, dy, dz, lo, hi):
 
 def _trace_tile(
     sph, pl_, tri, mat, light, ns, np_, nt, nl, max_depth, bias,
-    ox0, oy0, oz0, dx0, dy0, dz0, live0=None,
+    ox0, oy0, oz0, dx0, dy0, dz0, live0=None, min_weight=0.0,
 ):
     """Full Whitted chain for one [SUB, LANE] ray tile -> (r, g, b).
 
@@ -359,8 +359,11 @@ def _trace_tile(
             acc_g += jnp.where(shade, weight * local_g, 0.0)
             acc_b += jnp.where(shade, weight * local_b, 0.0)
 
-            # Reflection chain (Scene.h:189-195); opaque: refl = specular
-            cont = shade & (spec > bias)
+            # Reflection chain (Scene.h:189-195); opaque: refl = specular.
+            # Chains whose weight would drop below min_weight are pruned:
+            # their remaining contribution is bounded by weight * local
+            # radiance (see RenderConfig.min_weight).
+            cont = shade & (spec > bias) & (weight * spec >= min_weight)
             ddn = dx * nx + dy * ny + dz * nz
             rx = dx - 2.0 * ddn * nx
             ry = dy - 2.0 * ddn * ny
@@ -393,7 +396,10 @@ def _trace_tile(
         return acc_r, acc_g, acc_b
 
 
-def _make_kernel(ns: int, np_: int, nt: int, nl: int, max_depth: int, bias: float):
+def _make_kernel(
+    ns: int, np_: int, nt: int, nl: int, max_depth: int, bias: float,
+    min_weight: float = 0.0,
+):
     def kernel(
         sph_ref, pl_ref, tri_ref, mat_ref, light_ref,
         ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, live_ref,
@@ -404,6 +410,7 @@ def _make_kernel(ns: int, np_: int, nt: int, nl: int, max_depth: int, bias: floa
             ns, np_, nt, nl, max_depth, bias,
             ox_ref[:], oy_ref[:], oz_ref[:],
             dx_ref[:], dy_ref[:], dz_ref[:], live_ref[:],
+            min_weight=min_weight,
         )
         r_ref[:] = r
         g_ref[:] = g
@@ -496,7 +503,7 @@ def chain_trace_pallas(
     sph, pl_, tri, mat, light = pack_scene_tables(flat)
     kernel = _make_kernel(
         flat.n_spheres, flat.n_planes, flat.n_triangles, flat.n_lights,
-        cfg.max_depth, cfg.bias,
+        cfg.max_depth, cfg.bias, cfg.min_weight,
     )
 
     smem = lambda t: pl.BlockSpec(

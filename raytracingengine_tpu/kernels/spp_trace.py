@@ -59,7 +59,7 @@ def _uniform01(shape):
     return one_to_two - 1.0
 
 
-def _make_spp_kernel(ns, np_, nt, nl, max_depth, bias, spp):
+def _make_spp_kernel(ns, np_, nt, nl, max_depth, bias, spp, min_weight=0.0):
     def kernel(
         seed_ref,  # SMEM [1] int32
         cam_ref,  # SMEM [4]: pos_x, pos_y, pos_z, focal
@@ -92,6 +92,7 @@ def _make_spp_kernel(ns, np_, nt, nl, max_depth, bias, spp):
                 ns, np_, nt, nl, max_depth, bias,
                 jnp.full(shape, cx), jnp.full(shape, cy), jnp.full(shape, cz),
                 ddx * inv, ddy * inv, ddz * inv, live_ref[:],
+                min_weight=min_weight,
             )
             return ar + r, ag + g, ab + b
 
@@ -139,7 +140,7 @@ def spp_trace_pallas(flat: FlatScene, camera, cfg, px, py, seed: int = 0):
     tables = pack_scene_tables(flat)
     kernel = _make_spp_kernel(
         flat.n_spheres, flat.n_planes, flat.n_triangles, flat.n_lights,
-        cfg.max_depth, cfg.bias, camera.spp,
+        cfg.max_depth, cfg.bias, camera.spp, cfg.min_weight,
     )
     smem = lambda t: pl.BlockSpec(
         t.shape, lambda i, _nz=t.ndim: (0,) * _nz, memory_space=pltpu.SMEM

@@ -52,6 +52,16 @@ class RenderConfig:
     #: call — prefer shadow_mode='binary'/'soft' plus the chain integrator
     #: for training, which need no loops at all.
     differentiable: bool = False
+    #: Terminate secondary chains whose accumulated path weight falls
+    #: below this. The reference traces every spawned ray to depth 10
+    #: regardless of weight (Scene.h:131-198); a child with weight w can
+    #: change the pixel by at most w * max(local radiance), so pruning at
+    #: 1e-8 keeps HDR output within ~3e-6 of the reference (far below the
+    #: parity gates) while cutting typical chain length on the HEAD scene
+    #: from 10 to ~4 (plane specular = 0.01 decays weight 100x per
+    #: bounce). Set to 0.0 for the reference's exact trace-everything
+    #: behavior.
+    min_weight: float = 1e-8
     #: Rays processed per inner block (memory/VMEM knob).
     chunk_size: int = 16384
     #: Use the fused Pallas chain-trace kernel (kernels/chain_trace.py)

@@ -142,7 +142,9 @@ def _chain_scan(flat, o, d, w0, live0, accum0, start_depth, cfg, prim_axis):
             nd["shade"][:, None], w[:, None] * nd["local_term"], 0.0
         )
 
-        cont = nd["has_refl"]
+        # Weight-pruned chains (RenderConfig.min_weight): same semantics
+        # as the fused kernels.
+        cont = nd["has_refl"] & (w * nd["refl_w"] >= cfg.min_weight)
         o_n = jnp.where(cont[:, None], nd["refl_o"], o_c)
         d_n = jnp.where(cont[:, None], nd["refl_dir"], d_c)
         w_n = jnp.where(cont, w * nd["refl_w"], w)
@@ -226,10 +228,12 @@ def integrate_wavefront(
 
         # Push reflection first, refraction second: the LIFO pop order then
         # matches the reference's refraction-before-reflection DFS.
+        # Children whose path weight falls below min_weight are pruned
+        # (same bound as the chain integrator / fused kernels).
         stacks, sp = push(
             (s_o, s_d, s_w, s_dep),
             sp,
-            nd["has_refl"],
+            nd["has_refl"] & (w * nd["refl_w"] >= cfg.min_weight),
             nd["refl_o"],
             nd["refl_dir"],
             w * nd["refl_w"],
@@ -238,7 +242,7 @@ def integrate_wavefront(
         stacks, sp = push(
             stacks,
             sp,
-            nd["has_refr"],
+            nd["has_refr"] & (w * nd["refr_w"] >= cfg.min_weight),
             nd["refr_o"],
             nd["refr_dir"],
             w * nd["refr_w"],
