@@ -459,8 +459,9 @@ def pack_scene_tables(flat: FlatScene):
         [
             flat.albedo[:, 0], flat.albedo[:, 1], flat.albedo[:, 2],
             flat.specular, flat.shininess, flat.transparency,
+            flat.refractive_index,  # row 6: used by the wavefront kernel
         ]
-    ).astype(dt) if flat.n_primitives else jnp.zeros((6, 1), dt)
+    ).astype(dt) if flat.n_primitives else jnp.zeros((7, 1), dt)
 
     l_act = flat.light_active
     emit = flat.light_colors * flat.light_intensities[:, None]
@@ -473,8 +474,11 @@ def pack_scene_tables(flat: FlatScene):
             jnp.where(l_act, emit[:, 0], 0.0),
             jnp.where(l_act, emit[:, 1], 0.0),
             jnp.where(l_act, emit[:, 2], 0.0),
+            # row 6: active flag — the wavefront kernel's shadow march
+            # must not walk 64 steps toward a padded light slot.
+            l_act.astype(dt),
         ]
-    ).astype(dt) if flat.n_lights else jnp.zeros((6, 1), dt)
+    ).astype(dt) if flat.n_lights else jnp.zeros((7, 1), dt)
     return sph, pl_, tri, mat, light
 
 
@@ -533,11 +537,21 @@ MAX_PRIMS = 512
 
 
 def pallas_applicable(flat: FlatScene, cfg, mode: str) -> bool:
-    return (
-        mode == "chain"
-        and cfg.shadow_mode == "binary"
-        and flat.n_primitives <= MAX_PRIMS
-    )
+    """True if a fused kernel covers (scene, config, mode).
+
+    chain mode -> this module's reflection-chain kernel (binary shadows;
+    for the opaque scenes chain mode is selected for, the reference march
+    IS binary, but callers forcing chain on transparent scenes keep march
+    semantics on the XLA path). wavefront mode -> the general kernel
+    (kernels/wavefront_trace.py), which implements both the reference
+    transmittance march and binary shadows in-kernel."""
+    if flat.n_primitives > MAX_PRIMS:
+        return False
+    if mode == "chain":
+        return cfg.shadow_mode == "binary"
+    if mode == "wavefront":
+        return cfg.shadow_mode in ("binary", "march")
+    return False
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))

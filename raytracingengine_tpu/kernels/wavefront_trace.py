@@ -1,0 +1,558 @@
+"""Fused Pallas TPU kernel for the FULL Whitted recursion — transparency,
+refraction, Fresnel and TIR included.
+
+The chain kernel (chain_trace.py) covers the opaque sub-domain where the
+recursion degenerates to a reflection chain. This kernel executes the
+general case — the reference's TraceRay binary recursion tree
+(/root/reference/RaytracingEngine/Scene.h:131-198) — entirely on-chip:
+
+  * a per-lane LIFO ray stack lives in VMEM scratch
+    ([CAP, 8, SUB, LANE]: o, d, weight, depth), CAP = max_depth + 2, the
+    exact DFS bound for a binary tree (one net push per level). Lanes
+    diverge freely: pushes/pops are one-hot masked selects over the CAP
+    axis (CAP is small and static, so this is ~CAP*8 vector selects — a
+    rounding error next to the intersection scans),
+  * each while-loop iteration pops one node per live lane, shades it
+    (closest hit, per-light direct lighting), and pushes up to two
+    children: reflection weighted F (transparent) or material.specular
+    (opaque), refraction weighted transparency*(1-F), with Schlick
+    Fresnel and TIR forcing F = 1 (Scene.h:161-195). The loop exits when
+    every lane's stack is empty — opaque regions cost chain-like
+    iteration counts inside a transparent scene,
+  * shadow visibility is the reference's multiplicative-transparency
+    march (Scene.h:35-77): a masked while loop stepping past each
+    crossed surface, T *= clamp(transparency, 0, 1), with the exact
+    micro-step / near-hit / beyond-light exits of
+    render/shading.py::transmittance_hard. `shadow_mode='binary'` swaps
+    in the single-pass any-hit test instead.
+
+Forward only: the primal runs fused; the custom_vjp backward is the XLA
+wavefront integrator's autodiff (fixed-trip scan), the same
+primal-kernel + reference-VJP pattern chain_trace.py used before the
+fused adjoint existed. Training transparent scenes is not the headline
+metric; rendering them fast is.
+
+Parity notes mirrored from the reference: front-face normal flip
+(Scene.h:145-146), eta = 1/etaT vs etaT by face side (Scene.h:176),
+refraction origin biased by bias*1e2 (Scene.h:180), reflection origin by
+bias (Scene.h:191), reflection spawned only when reflectiveness > bias
+(Scene.h:189), specular gated on opaque materials (Scene.h:115), local
+light weighted (1 - transparency) (Scene.h:171-173), sky on miss and
+depth exhaustion (Scene.h:30-33, :132-139).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from raytracingengine_tpu.geometry.intersect import EPS, FlatScene
+from raytracingengine_tpu.kernels.chain_trace import (
+    LANE,
+    SUB,
+    TILE,
+    _INF,
+    _any_hit,
+    _sky,
+    pack_scene_tables,
+)
+
+
+def _closest_hit_full(sph, pl_, tri, mat, ns, np_, nt, ox, oy, oz, dx, dy, dz):
+    """Linear scan -> (t, nx, ny, nz, ar, ag, ab, spec, shin, tau, eta).
+
+    Same predicates/tie-breaks as chain_trace._closest_hit, with the two
+    extra material fields the transparent branch needs."""
+    shape = ox.shape
+    carry = jnp.concatenate(
+        [jnp.full((1,) + shape, _INF), jnp.zeros((10,) + shape)], axis=0
+    )
+    a_coef = dx * dx + dy * dy + dz * dz
+
+    def upd(carry, t_new, hit, n3, gi):
+        t = carry[0]
+        closer = hit & (t_new < t)
+        nxn, nyn, nzn = n3
+        one = jnp.ones(shape)
+        new = jnp.stack(
+            [
+                t_new, nxn, nyn, nzn,
+                mat[0, gi] * one, mat[1, gi] * one, mat[2, gi] * one,
+                mat[3, gi] * one, mat[4, gi] * one, mat[5, gi] * one,
+                mat[6, gi] * one,
+            ]
+        )
+        return jnp.where(closer[None], new, carry)
+
+    def sphere_body(i, carry):
+        cx, cy, cz, r2 = sph[0, i], sph[1, i], sph[2, i], sph[3, i]
+        ocx, ocy, ocz = ox - cx, oy - cy, oz - cz
+        b = 2.0 * (ocx * dx + ocy * dy + ocz * dz)
+        c = ocx * ocx + ocy * ocy + ocz * ocz - r2
+        disc = b * b - 4.0 * a_coef * c
+        ok = disc >= 0.0
+        sq = jnp.sqrt(jnp.where(ok, jnp.maximum(disc, 0.0), 0.0))
+        inv2a = 0.5 / a_coef
+        tt0 = (-b - sq) * inv2a
+        tt1 = (-b + sq) * inv2a
+        t_new = jnp.where(tt0 >= EPS, tt0, tt1)
+        hit = ok & (t_new >= EPS)
+        px = ox + dx * t_new
+        py = oy + dy * t_new
+        pz = oz + dz * t_new
+        gx, gy, gz = px - cx, py - cy, pz - cz
+        g2 = gx * gx + gy * gy + gz * gz
+        inv = jax.lax.rsqrt(jnp.maximum(g2, 1e-24))
+        return upd(carry, t_new, hit, (gx * inv, gy * inv, gz * inv), i)
+
+    def plane_body(i, carry):
+        nx_, ny_, nz_, pn = pl_[0, i], pl_[1, i], pl_[2, i], pl_[3, i]
+        denom = dx * nx_ + dy * ny_ + dz * nz_
+        ok = jnp.abs(denom) > EPS
+        on = ox * nx_ + oy * ny_ + oz * nz_
+        t_new = (pn - on) / jnp.where(ok, denom, 1.0)
+        hit = ok & (t_new >= 0.0)
+        one = jnp.ones_like(ox)
+        return upd(carry, t_new, hit, (nx_ * one, ny_ * one, nz_ * one), ns + i)
+
+    def tri_body(i, carry):
+        v0x, v0y, v0z = tri[0, i], tri[1, i], tri[2, i]
+        e1x, e1y, e1z = tri[3, i], tri[4, i], tri[5, i]
+        e2x, e2y, e2z = tri[6, i], tri[7, i], tri[8, i]
+        nux, nuy, nuz = tri[9, i], tri[10, i], tri[11, i]
+        hx = dy * e2z - dz * e2y
+        hy = dz * e2x - dx * e2z
+        hz = dx * e2y - dy * e2x
+        a = e1x * hx + e1y * hy + e1z * hz
+        ok = jnp.abs(a) > EPS
+        f = 1.0 / jnp.where(ok, a, 1.0)
+        sx, sy, sz = ox - v0x, oy - v0y, oz - v0z
+        u = f * (sx * hx + sy * hy + sz * hz)
+        qx = sy * e1z - sz * e1y
+        qy = sz * e1x - sx * e1z
+        qz = sx * e1y - sy * e1x
+        v = f * (dx * qx + dy * qy + dz * qz)
+        t_new = f * (e2x * qx + e2y * qy + e2z * qz)
+        hit = (
+            ok & (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (u + v <= 1.0)
+            & (t_new > EPS)
+        )
+        one = jnp.ones_like(ox)
+        return upd(
+            carry, t_new, hit, (nux * one, nuy * one, nuz * one), ns + np_ + i
+        )
+
+    carry = jax.lax.fori_loop(0, ns, sphere_body, carry)
+    carry = jax.lax.fori_loop(0, np_, plane_body, carry)
+    carry = jax.lax.fori_loop(0, nt, tri_body, carry)
+    return tuple(carry[i] for i in range(11))
+
+
+def _nearest_t_tau(sph, pl_, tri, mat, ns, np_, nt, ox, oy, oz, dx, dy, dz):
+    """Reduced scan for the shadow march: (t, transparency) only."""
+    shape = ox.shape
+    carry = jnp.concatenate(
+        [jnp.full((1,) + shape, _INF), jnp.zeros((1,) + shape)], axis=0
+    )
+    a_coef = dx * dx + dy * dy + dz * dz
+
+    def upd(carry, t_new, hit, gi):
+        closer = hit & (t_new < carry[0])
+        new = jnp.stack([t_new, mat[5, gi] * jnp.ones(shape)])
+        return jnp.where(closer[None], new, carry)
+
+    def sphere_body(i, carry):
+        cx, cy, cz, r2 = sph[0, i], sph[1, i], sph[2, i], sph[3, i]
+        ocx, ocy, ocz = ox - cx, oy - cy, oz - cz
+        b = 2.0 * (ocx * dx + ocy * dy + ocz * dz)
+        c = ocx * ocx + ocy * ocy + ocz * ocz - r2
+        disc = b * b - 4.0 * a_coef * c
+        ok = disc >= 0.0
+        sq = jnp.sqrt(jnp.where(ok, jnp.maximum(disc, 0.0), 0.0))
+        inv2a = 0.5 / a_coef
+        tt0 = (-b - sq) * inv2a
+        tt1 = (-b + sq) * inv2a
+        t_new = jnp.where(tt0 >= EPS, tt0, tt1)
+        return upd(carry, t_new, ok & (t_new >= EPS), i)
+
+    def plane_body(i, carry):
+        nx_, ny_, nz_, pn = pl_[0, i], pl_[1, i], pl_[2, i], pl_[3, i]
+        denom = dx * nx_ + dy * ny_ + dz * nz_
+        ok = jnp.abs(denom) > EPS
+        on = ox * nx_ + oy * ny_ + oz * nz_
+        t_new = (pn - on) / jnp.where(ok, denom, 1.0)
+        return upd(carry, t_new, ok & (t_new >= 0.0), ns + i)
+
+    def tri_body(i, carry):
+        v0x, v0y, v0z = tri[0, i], tri[1, i], tri[2, i]
+        e1x, e1y, e1z = tri[3, i], tri[4, i], tri[5, i]
+        e2x, e2y, e2z = tri[6, i], tri[7, i], tri[8, i]
+        hx = dy * e2z - dz * e2y
+        hy = dz * e2x - dx * e2z
+        hz = dx * e2y - dy * e2x
+        a = e1x * hx + e1y * hy + e1z * hz
+        ok = jnp.abs(a) > EPS
+        f = 1.0 / jnp.where(ok, a, 1.0)
+        sx, sy, sz = ox - v0x, oy - v0y, oz - v0z
+        u = f * (sx * hx + sy * hy + sz * hz)
+        qx = sy * e1z - sz * e1y
+        qy = sz * e1x - sx * e1z
+        qz = sx * e1y - sy * e1x
+        v = f * (dx * qx + dy * qy + dz * qz)
+        t_new = f * (e2x * qx + e2y * qy + e2z * qz)
+        hit = (
+            ok & (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (u + v <= 1.0)
+            & (t_new > EPS)
+        )
+        return upd(carry, t_new, hit, ns + np_ + i)
+
+    carry = jax.lax.fori_loop(0, ns, sphere_body, carry)
+    carry = jax.lax.fori_loop(0, np_, plane_body, carry)
+    carry = jax.lax.fori_loop(0, nt, tri_body, carry)
+    return carry[0], carry[1]
+
+
+def _march_T(
+    sph, pl_, tri, mat, ns, np_, nt, bias, max_steps, min_t,
+    ox, oy, oz, ldx, ldy, ldz, max_dist, active,
+):
+    """computeTransmittance (Scene.h:35-77) for one tile -> T [SUB, LANE].
+
+    Masked lockstep march, micro-step semantics identical to
+    render/shading.py::transmittance_hard."""
+    shape = ox.shape
+    live0 = (active & (max_dist > 0.0)).astype(jnp.float32)
+    state0 = (
+        ox, oy, oz,
+        jnp.zeros(shape),  # traveled
+        jnp.ones(shape),  # T
+        live0,
+        jnp.int32(0),
+    )
+
+    def cond(s):
+        return (jnp.max(s[5]) > 0.0) & (s[6] < max_steps)
+
+    def body(s):
+        cx, cy, cz, traveled, T, live_f, it = s
+        live = live_f > 0.0
+        t, tau_raw = _nearest_t_tau(
+            sph, pl_, tri, mat, ns, np_, nt, cx, cy, cz, ldx, ldy, ldz
+        )
+        valid = t < _INF
+        t = jnp.where(valid, t, 0.0)
+        c_zero = valid & (t <= 0.0)
+        c_near = valid & (t > 0.0) & (t <= bias)
+        c_beyond = valid & (t > bias) & (traveled + t >= max_dist)
+        c_pass = valid & (t > bias) & (traveled + t < max_dist)
+
+        step = jnp.where(
+            c_zero, bias, jnp.where(c_near | c_pass, t + bias, 0.0)
+        )
+        ncx = cx + ldx * step
+        ncy = cy + ldy * step
+        ncz = cz + ldz * step
+        n_traveled = traveled + step
+        tau = jnp.clip(tau_raw, 0.0, 1.0)
+        n_T = jnp.where(c_pass, T * tau, T)
+
+        cx = jnp.where(live, ncx, cx)
+        cy = jnp.where(live, ncy, cy)
+        cz = jnp.where(live, ncz, cz)
+        traveled = jnp.where(live, n_traveled, traveled)
+        T = jnp.where(live, n_T, T)
+        live = (
+            live & valid & ~c_beyond & (T > min_t) & (traveled < max_dist)
+        )
+        return cx, cy, cz, traveled, T, live.astype(jnp.float32), it + 1
+
+    out = jax.lax.while_loop(cond, body, state0)
+    return jnp.clip(out[4], 0.0, 1.0)
+
+
+def _make_wavefront_kernel(
+    ns, np_, nt, nl, max_depth, bias, min_weight, shadow_mode,
+    shadow_max_steps, shadow_min_t, budget,
+):
+    cap = max_depth + 2  # DFS bound (integrator.py:169)
+
+    def kernel(
+        sph_ref, pl_ref, tri_ref, mat_ref, light_ref,
+        ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, live_ref,
+        r_ref, g_ref, b_ref,
+        stack_ref,  # scratch [cap, 8, SUB, LANE]: ox..dz, weight, depth
+    ):
+        sph, pl_, tri, mat, light = sph_ref, pl_ref, tri_ref, mat_ref, light_ref
+        shape = (SUB, LANE)
+        zero = jnp.zeros(shape)
+        one = jnp.ones(shape)
+
+        # Push the primary ray into slot 0; padding lanes start empty.
+        stack_ref[0] = jnp.stack(
+            [ox_ref[:], oy_ref[:], oz_ref[:],
+             dx_ref[:], dy_ref[:], dz_ref[:], one, zero]
+        )
+        sp0 = live_ref[:]  # 1.0 on valid lanes -> stack depth 1
+
+        def pop(sp_top):
+            """One-hot gather of each lane's stack top -> [8, SUB, LANE]."""
+            node = jnp.zeros((8,) + shape)
+            for s in range(cap):
+                node = jnp.where((sp_top == s)[None], stack_ref[s], node)
+            return node
+
+        def push(sp, mask, fields):
+            """One-hot scatter of `fields` at each lane's sp; returns new sp."""
+            new = jnp.stack(fields)
+            for s in range(cap):
+                m = mask & (sp == s)
+                stack_ref[s] = jnp.where(m[None], new, stack_ref[s])
+            return sp + mask.astype(jnp.float32)
+
+        def cond(c):
+            sp, _r, _g, _b, it = c
+            return (jnp.max(sp) > 0.0) & (it < budget)
+
+        def body(c):
+            sp, acc_r, acc_g, acc_b, it = c
+            live = sp > 0.0
+            top = sp - 1.0
+            node = pop(top)
+            ox, oy, oz = node[0], node[1], node[2]
+            dx, dy, dz = node[3], node[4], node[5]
+            weight, depth = node[6], node[7]
+            sp = jnp.where(live, sp - 1.0, sp)
+
+            at_max = depth >= max_depth
+            if_max_sky = live & at_max
+            shadeable = live & ~at_max
+
+            skr, skg, skb = _sky(dx, dy, dz)
+
+            (t, nx, ny, nz, ar, ag, ab, spec, shin, tau_raw, eta_t) = (
+                _closest_hit_full(
+                    sph, pl_, tri, mat, ns, np_, nt, ox, oy, oz, dx, dy, dz
+                )
+            )
+            hit = t < _INF
+            miss = shadeable & ~hit
+            shade = shadeable & hit
+            sky_lanes = if_max_sky | miss
+            acc_r += jnp.where(sky_lanes, weight * skr, 0.0)
+            acc_g += jnp.where(sky_lanes, weight * skg, 0.0)
+            acc_b += jnp.where(sky_lanes, weight * skb, 0.0)
+
+            # Front-face flip (Scene.h:145-146)
+            ndotd = nx * dx + ny * dy + nz * dz
+            front = ndotd < 0.0
+            flip = jnp.where(front, 1.0, -1.0)
+            nx, ny, nz = nx * flip, ny * flip, nz * flip
+
+            t_safe = jnp.where(hit, t, 0.0)
+            px = ox + dx * t_safe
+            py = oy + dy * t_safe
+            pz = oz + dz * t_safe
+            tau = jnp.clip(tau_raw, 0.0, 1.0)
+
+            # ---- direct lighting (Scene.h:79-129) ----
+            sox = px + nx * bias
+            soy = py + ny * bias
+            soz = pz + nz * bias
+            spec_on = (tau_raw <= 0.0) & (spec > 0.0)  # Scene.h:115
+
+            def light_body(li, lcarry):
+                dr, dg, db, sr, sg, sb = lcarry
+                lx, ly, lz = light[0, li], light[1, li], light[2, li]
+                er, eg, eb = light[3, li], light[4, li], light[5, li]
+                l_act = light[6, li] > 0.0
+                vx, vy, vz = lx - px, ly - py, lz - pz
+                dist2 = vx * vx + vy * vy + vz * vz
+                dist = jnp.sqrt(jnp.maximum(dist2, 1e-30))
+                inv_d = 1.0 / dist
+                ldx, ldy, ldz = vx * inv_d, vy * inv_d, vz * inv_d
+                ndotl = jnp.maximum(0.0, nx * ldx + ny * ldy + nz * ldz)
+                ok = shade & l_act & (dist > bias) & (ndotl > 0.0)
+                if shadow_mode == "binary":
+                    occ = _any_hit(
+                        sph, pl_, tri, ns, np_, nt,
+                        sox, soy, soz, ldx, ldy, ldz,
+                        jnp.full(shape, bias), dist - bias,
+                    )
+                    T = jnp.where(occ, 0.0, 1.0)
+                else:
+                    T = _march_T(
+                        sph, pl_, tri, mat, ns, np_, nt,
+                        bias, shadow_max_steps, shadow_min_t,
+                        sox, soy, soz, ldx, ldy, ldz, dist - bias, ok,
+                    )
+                vis = ok & (T > bias)
+                inv_d2 = inv_d * inv_d
+                contrib = inv_d2 * ndotl * T
+                dr += jnp.where(vis, er * contrib, 0.0)
+                dg += jnp.where(vis, eg * contrib, 0.0)
+                db += jnp.where(vis, eb * contrib, 0.0)
+                hx_, hy_, hz_ = ldx - dx, ldy - dy, ldz - dz
+                h2 = hx_ * hx_ + hy_ * hy_ + hz_ * hz_
+                invh = jax.lax.rsqrt(jnp.maximum(h2, 1e-24))
+                ndoth = jnp.maximum(0.0, (nx * hx_ + ny * hy_ + nz * hz_) * invh)
+                s_ok = vis & spec_on & (ndoth > 0.0)
+                ndoth_s = jnp.where(s_ok, ndoth, 1.0)
+                sf = jnp.exp(shin * jnp.log(ndoth_s)) * inv_d2 * T
+                sr += jnp.where(s_ok, er * sf, 0.0)
+                sg += jnp.where(s_ok, eg * sf, 0.0)
+                sb += jnp.where(s_ok, eb * sf, 0.0)
+                return dr, dg, db, sr, sg, sb
+
+            dr, dg, db, sr, sg, sb = jax.lax.fori_loop(
+                0, nl, light_body, (zero, zero, zero, zero, zero, zero)
+            )
+            one_m_tau = 1.0 - tau  # Scene.h:171-173
+            acc_r += jnp.where(shade, weight * one_m_tau * (ar * dr + sr * spec), 0.0)
+            acc_g += jnp.where(shade, weight * one_m_tau * (ag * dg + sg * spec), 0.0)
+            acc_b += jnp.where(shade, weight * one_m_tau * (ab * db + sb * spec), 0.0)
+
+            # ---- Fresnel + children (Scene.h:161-195) ----
+            cos_theta = jnp.maximum(0.0, -(nx * dx + ny * dy + nz * dz))
+            f0r = (eta_t - 1.0) / (eta_t + 1.0)
+            f0 = f0r * f0r
+            omc = 1.0 - cos_theta
+            omc2 = omc * omc
+            fresnel = f0 + (1.0 - f0) * omc2 * omc2 * omc
+
+            # Refraction (Scene.h:175-187); vm.refract semantics with d, n
+            # already unit: cosi = d.n (negative entering), TIR -> zero dir.
+            eta = jnp.where(front, 1.0 / eta_t, eta_t)
+            cosi = jnp.clip(dx * nx + dy * ny + dz * nz, -1.0, 1.0)
+            k = 1.0 - eta * eta * (1.0 - cosi * cosi)
+            tir_k = k < 0.0
+            sqk = jnp.sqrt(jnp.maximum(k, 0.0))
+            coef = eta * cosi + sqk
+            rfx = jnp.where(tir_k, 0.0, dx * eta - nx * coef)
+            rfy = jnp.where(tir_k, 0.0, dy * eta - ny * coef)
+            rfz = jnp.where(tir_k, 0.0, dz * eta - nz * coef)
+            rf2 = rfx * rfx + rfy * rfy + rfz * rfz
+            rflen = jnp.sqrt(rf2)
+            wants_refr = shade & (tau > 0.0)
+            has_refr = wants_refr & (rflen > bias)
+            tir = wants_refr & (rflen <= bias)
+            fresnel_eff = jnp.where(tir, 1.0, fresnel)  # Scene.h:185
+            inv_rf = jax.lax.rsqrt(jnp.maximum(rf2, 1e-24))
+            rfx, rfy, rfz = rfx * inv_rf, rfy * inv_rf, rfz * inv_rf
+            refr_w = weight * tau * (1.0 - fresnel)  # pre-TIR F (Scene.h:182)
+
+            # Reflection (Scene.h:189-195)
+            reflectiveness = jnp.where(tau > 0.0, fresnel_eff, spec)
+            ddn = dx * nx + dy * ny + dz * nz
+            rlx = dx - 2.0 * ddn * nx
+            rly = dy - 2.0 * ddn * ny
+            rlz = dz - 2.0 * ddn * nz
+            rl2 = rlx * rlx + rly * rly + rlz * rlz
+            inv_rl = jax.lax.rsqrt(jnp.maximum(rl2, 1e-24))
+            rlx, rly, rlz = rlx * inv_rl, rly * inv_rl, rlz * inv_rl
+            refl_w = weight * reflectiveness
+
+            push_refl = shade & (reflectiveness > bias) & (refl_w >= min_weight)
+            push_refr = has_refr & (refr_w >= min_weight)
+
+            # Push reflection first, refraction second (LIFO pop order then
+            # matches the reference's refraction-before-reflection DFS).
+            sp = push(
+                sp, push_refl,
+                (px + rlx * bias, py + rly * bias, pz + rlz * bias,
+                 rlx, rly, rlz, refl_w, depth + 1.0),
+            )
+            b100 = bias * 1e2  # Scene.h:180
+            sp = push(
+                sp, push_refr,
+                (px + rfx * b100, py + rfy * b100, pz + rfz * b100,
+                 rfx, rfy, rfz, refr_w, depth + 1.0),
+            )
+            return sp, acc_r, acc_g, acc_b, it + 1
+
+        sp, acc_r, acc_g, acc_b, _ = jax.lax.while_loop(
+            cond, body, (sp0, zero, zero, zero, jnp.int32(0))
+        )
+        r_ref[:] = acc_r
+        g_ref[:] = acc_g
+        b_ref[:] = acc_b
+
+    return kernel, cap
+
+
+def wavefront_trace_pallas(
+    flat: FlatScene, o: jnp.ndarray, d: jnp.ndarray, cfg
+) -> jnp.ndarray:
+    """Fused general Whitted trace: [R,3] origins/dirs -> [R,3] HDR."""
+    r = o.shape[0]
+    n_tiles = -(-r // TILE)
+    pad = n_tiles * TILE - r
+
+    def shape_ray(x, fill=0.0):
+        x = jnp.pad(x, (0, pad), constant_values=fill)
+        return x.reshape(n_tiles * SUB, LANE).astype(jnp.float32)
+
+    ox, oy, oz = (shape_ray(o[:, i]) for i in range(3))
+    dx, dy = shape_ray(d[:, 0]), shape_ray(d[:, 1])
+    dz = shape_ray(d[:, 2], fill=1.0)
+    live = shape_ray(jnp.ones((r,), jnp.float32))
+
+    tables = pack_scene_tables(flat)
+    kernel, cap = _make_wavefront_kernel(
+        flat.n_spheres, flat.n_planes, flat.n_triangles, flat.n_lights,
+        cfg.max_depth, cfg.bias, cfg.min_weight, cfg.shadow_mode,
+        cfg.shadow_max_steps, cfg.shadow_min_t, cfg.budget(),
+    )
+
+    smem = lambda t: pl.BlockSpec(
+        t.shape, lambda i, _nz=t.ndim: (0,) * _nz, memory_space=pltpu.SMEM
+    )
+    ray_spec = pl.BlockSpec((SUB, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[smem(t) for t in tables] + [ray_spec] * 7,
+        out_specs=(ray_spec, ray_spec, ray_spec),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((n_tiles * SUB, LANE), jnp.float32)
+            for _ in range(3)
+        ),
+        scratch_shapes=[pltpu.VMEM((cap, 8, SUB, LANE), jnp.float32)],
+    )(*tables, ox, oy, oz, dx, dy, dz, live)
+
+    rgb = jnp.stack([c.reshape(-1)[:r] for c in out], axis=-1)
+    return rgb.astype(o.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def wavefront_trace(flat: FlatScene, o: jnp.ndarray, d: jnp.ndarray, cfg):
+    """Differentiable fused wavefront trace: Pallas primal, XLA-autodiff
+    backward (fixed-trip wavefront scan) — the primal-kernel +
+    reference-VJP pattern."""
+    return wavefront_trace_pallas(flat, o, d, cfg)
+
+
+def _wavefront_fwd(flat, o, d, cfg):
+    return wavefront_trace_pallas(flat, o, d, cfg), (flat, o, d)
+
+
+def _wavefront_bwd(cfg, res, g):
+    from raytracingengine_tpu.render.integrator import integrate_wavefront
+
+    flat, o, d = res
+    # Reverse-differentiable replay: fixed-trip scans instead of while
+    # loops. The budget default (full binary tree) is the lossless bound;
+    # training transparent scenes should set cfg.wavefront_budget.
+    cfg_d = dataclasses.replace(cfg, differentiable=True)
+    _, vjp = jax.vjp(
+        lambda fl, oo, dd: integrate_wavefront(fl, oo, dd, cfg_d), flat, o, d
+    )
+    return vjp(g)
+
+
+wavefront_trace.defvjp(_wavefront_fwd, _wavefront_bwd)

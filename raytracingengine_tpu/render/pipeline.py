@@ -69,7 +69,17 @@ def _render_chunk(
         from raytracingengine_tpu.kernels.chain_trace import pallas_applicable
 
         if pallas_applicable(flat, cfg, mode):
-            if camera.spp > 1 and not cfg.differentiable:
+            if mode == "wavefront":
+                # General (transparency/refraction) fused kernel; its
+                # custom_vjp backward is the XLA wavefront's autodiff.
+                from raytracingengine_tpu.kernels.wavefront_trace import (
+                    wavefront_trace,
+                )
+
+                integrate = lambda fl, o, d, c, _pa=None: wavefront_trace(
+                    fl, o, d, c
+                )
+            elif camera.spp > 1 and not cfg.differentiable:
                 # whole AA loop fused in-kernel with the hardware PRNG —
                 # the fastest render path, but its jitter cannot be
                 # replayed by an adjoint. With cfg.differentiable the
@@ -85,11 +95,12 @@ def _render_chunk(
                     chunk_key, (), 0, 2**31 - 1, dtype=jnp.int32
                 )
                 return spp_trace_pallas(flat, camera, cfg, px, py, seed)
-            # fused forward AND backward kernels (full gradients: scene
-            # params + camera rays)
-            integrate = lambda fl, o, d, c, _pa=None: chain_trace_fused(
-                fl, o, d, c
-            )
+            else:
+                # fused forward AND backward kernels (full gradients:
+                # scene params + camera rays)
+                integrate = lambda fl, o, d, c, _pa=None: chain_trace_fused(
+                    fl, o, d, c
+                )
         else:
             integrate = integrate_chain if mode == "chain" else integrate_wavefront
     else:

@@ -124,7 +124,25 @@ def main() -> int:
     failures += 0 if ok else 1
     print(f"  compile+run {time.time() - t0:.1f}s", flush=True)
 
-    print(f"{3 - failures}/3 kernels PASS")
+    # Wavefront (transparency) kernel: glass scene with the reference
+    # transmittance march in-kernel, vs the XLA wavefront integrator.
+    from raytracingengine_tpu.kernels.wavefront_trace import (
+        wavefront_trace_pallas,
+    )
+    from raytracingengine_tpu.render.integrator import integrate_wavefront
+    from raytracingengine_tpu.scenes.builders import glass_sphere_scene
+
+    gscene, gcam = glass_sphere_scene(width=w, height=h, spp=1)
+    gflat = flatten_scene(gscene)
+    go, gd = gcam.rays_for_pixels(*gcam.pixel_grid())
+    gcfg = RenderConfig()  # march shadows (the reference default)
+    gref = np.asarray(jax.jit(lambda: integrate_wavefront(gflat, go, gd, gcfg))())
+    t0 = time.time()
+    wf = jax.jit(lambda oo, dd: wavefront_trace_pallas(gflat, oo, dd, gcfg))
+    check("wavefront_trace (glass, march)", wf(go, gd), gref, atol=1e-4)
+    print(f"  compile+run {time.time() - t0:.1f}s", flush=True)
+
+    print(f"{4 - failures}/4 kernels PASS")
     return 1 if failures else 0
 
 
