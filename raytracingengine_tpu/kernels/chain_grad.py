@@ -614,6 +614,14 @@ def chain_grad_pallas(flat: FlatScene, o, d, gbar, cfg):
     return table_grads, go.astype(o.dtype), gd.astype(d.dtype)
 
 
+#: Primitive ceiling for the fused backward kernel: its per-bounce scan
+#: is python-unrolled (so jax.vjp can derive the adjoint), which makes
+#: compile time linear in primitive count. Past this, the backward falls
+#: back to XLA autodiff of the chain integrator — forward rendering of
+#: dense meshes stays fused (chain_trace.MAX_PRIMS = 8192).
+MAX_PRIMS_GRAD = 512
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def chain_trace_fused(flat: FlatScene, o, d, cfg):
     """Forward AND backward fully fused on-chip (opaque chain, binary
@@ -628,6 +636,16 @@ def _fused_fwd(flat, o, d, cfg):
 
 def _fused_bwd(cfg, res, g):
     flat, o, d = res
+    if flat.n_primitives > MAX_PRIMS_GRAD:
+        # Dense mesh: the unrolled adjoint kernel would take forever to
+        # compile; differentiate the (numerically matching) XLA chain
+        # integrator instead. Forward stays on the fused kernel.
+        from raytracingengine_tpu.render.integrator import integrate_chain
+
+        _, vjp = jax.vjp(
+            lambda fl, oo, dd: integrate_chain(fl, oo, dd, cfg), flat, o, d
+        )
+        return vjp(g)
     # Pull cotangents back through the (pure JAX) table packing so derived
     # entries (r^2, e1/e2, pn, emitted) chain to the original leaves.
     _, pack_vjp = jax.vjp(pack_scene_tables, flat)

@@ -532,8 +532,12 @@ def chain_trace_pallas(
 
 
 #: Primitive-count ceiling for the SMEM-resident scan (beyond this the
-#: XLA path takes over).
-MAX_PRIMS = 512
+#: XLA path takes over). Empirically probed on TPU v5 lite: 19 fp32 rows
+#: x 8192 columns (608 KB) of SMEM tables compile and run; 16384 columns
+#: do not. The forward kernels scan primitives with fori_loops, so the
+#: ceiling is SMEM capacity, not compile time. (The python-unrolled fused
+#: BACKWARD kernel keeps its own lower cap, chain_grad.MAX_PRIMS_GRAD.)
+MAX_PRIMS = 8192
 
 
 def pallas_applicable(flat: FlatScene, cfg, mode: str) -> bool:

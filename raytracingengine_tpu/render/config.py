@@ -50,7 +50,11 @@ class RenderConfig:
     #: Replace while_loops (shadow march, wavefront) with fixed-trip scans
     #: so reverse-mode autodiff works. Costs the full trip count every
     #: call — prefer shadow_mode='binary'/'soft' plus the chain integrator
-    #: for training, which need no loops at all.
+    #: for training, which need no loops at all. NOTE: with use_pallas,
+    #: spp>1 renders under this flag trace each sample separately through
+    #: the fused fwd+bwd kernels (replayable jitter) instead of the
+    #: in-kernel AA sampler — correct gradients, slower inference. Toggle
+    #: it off for pure eval renders.
     differentiable: bool = False
     #: Terminate secondary chains whose accumulated path weight falls
     #: below this. The reference traces every spawned ray to depth 10

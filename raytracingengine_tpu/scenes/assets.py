@@ -53,3 +53,49 @@ def cube_obj_text(size: float = 4.0) -> str:
     for i in range(0, len(idx), 3):
         lines.append(f"f {idx[i]+1} {idx[i+1]+1} {idx[i+2]+1}")
     return "\n".join(lines) + "\n"
+
+
+def bumpy_sphere_mesh(
+    radius: float = 2.0,
+    ni: int = 48,
+    nj: int = 64,
+    amp: float = 0.15,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Dense procedural mesh: a UV-sphere with a deterministic radial
+    displacement r(theta, phi) = R * (1 + amp * sin(4 theta) * cos(3 phi)).
+
+    ni polar segments x nj azimuthal segments -> nj*(2*ni - 2) triangles
+    (pole quads emit a single non-degenerate triangle; the displacement is
+    zero at the poles so each pole ring collapses to one point). The same
+    formula is implemented in refbuild/parity_main.cpp so the REAL
+    reference engine (Shape.h:269-300's arbitrary-size Model loop) renders
+    the identical mesh for parity dumps.
+
+    Returns (vertices [(ni+1)*nj, 3] float64, indices [3*k] int64).
+    """
+    verts = np.empty(((ni + 1) * nj, 3), np.float64)
+    for i in range(ni + 1):
+        theta = np.pi * i / ni
+        st, ct = np.sin(theta), np.cos(theta)
+        for j in range(nj):
+            phi = 2.0 * np.pi * j / nj
+            r = radius * (1.0 + amp * np.sin(4.0 * theta) * np.cos(3.0 * phi))
+            verts[i * nj + j] = (
+                r * st * np.cos(phi),
+                r * ct,
+                r * st * np.sin(phi),
+            )
+    faces = []
+    for i in range(ni):
+        for j in range(nj):
+            j1 = (j + 1) % nj
+            a = i * nj + j
+            b = (i + 1) * nj + j
+            c = (i + 1) * nj + j1
+            d = i * nj + j1
+            if i > 0:
+                faces.append((a, c, d))
+            if i < ni - 1:
+                faces.append((a, b, c))
+    idx = np.asarray(faces, np.int64).reshape(-1)
+    return verts, idx

@@ -164,3 +164,43 @@ def stress_scene(
         near=0.0, far=200.0, spp=spp, dtype=dtype,
     )
     return scene, camera
+
+
+def dense_mesh_scene(
+    width: int = 128,
+    height: int = 128,
+    spp: int = 1,
+    ni: int = 48,
+    nj: int = 64,
+    dtype=jnp.float32,
+) -> tuple[Scene, Camera]:
+    """Dense-mesh stress scene: a 6,016-triangle bumpy sphere (for the
+    default ni/nj) over a floor plane with two lights.
+
+    Exercises the reference's arbitrary-size Model loop
+    (/root/reference/RaytracingEngine/Shape.h:269-300) far past the old
+    512-primitive kernel ceiling; refbuild/parity_main.cpp renders the
+    identical scene with the real C++ engine for the parity dump.
+    """
+    from raytracingengine_tpu.scenes.assets import bumpy_sphere_mesh
+
+    b = SceneBuilder()
+    mesh_mat = Material(
+        color=(0.85, 0.35, 0.2), shininess=64.0, specular=0.25,
+        transparency=0.0, refractive_index=1.0,
+    )
+    verts, idx = bumpy_sphere_mesh(radius=2.0, ni=ni, nj=nj, amp=0.15)
+    # x-offset breaks the exact alignment of the camera's central
+    # pixel column with the mesh symmetry plane (which otherwise
+    # makes a whole column of exact closest-hit ties that fp32 and
+    # fp64 break differently — verified vs the fp64 oracle).
+    b.add_model(verts, idx, mesh_mat, translation=(0.137, 0.5, 8.0))
+    b.add_plane((0.0, -2.5, 0.0), (0.0, 1.0, 0.0), Material(color=(0.9, 0.9, 0.9)))
+    b.add_light((-4.0, 6.0, -2.0), (1, 1, 1), 120.0)
+    b.add_light((4.0, 5.0, 2.0), (1, 1, 1), 90.0)
+    scene = b.build(dtype=dtype)
+    camera = Camera.create(
+        (0, 0, -8), focal=float(width), width=width, height=height,
+        near=0.0, far=100.0, spp=spp, dtype=dtype,
+    )
+    return scene, camera

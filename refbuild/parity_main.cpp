@@ -134,6 +134,63 @@ Scene glassScene(int width, int height) {
     return scene;
 }
 
+// Dense procedural mesh matching scenes/assets.bumpy_sphere_mesh: a
+// UV-sphere with radial displacement r = R*(1 + amp*sin(4 theta)*cos(3 phi)),
+// ni polar x nj azimuthal segments -> nj*(2*ni - 2) triangles (6,016 for
+// the defaults). Exercises Model's arbitrary-size triangle loop
+// (Shape.h:269-300) far past any small-scene fast path.
+Model bumpySphere(const Transform& t, const Material& m, double radius,
+                  int ni, int nj, double amp) {
+    std::vector<Vec3> verts((ni + 1) * nj);
+    const double pi = 3.14159265358979323846;
+    for (int i = 0; i <= ni; i++) {
+        double theta = pi * i / ni;
+        double st = std::sin(theta), ct = std::cos(theta);
+        for (int j = 0; j < nj; j++) {
+            double phi = 2.0 * pi * j / nj;
+            double r = radius * (1.0 + amp * std::sin(4.0 * theta) *
+                                           std::cos(3.0 * phi));
+            verts[i * nj + j] =
+                Vec3(r * st * std::cos(phi), r * ct, r * st * std::sin(phi));
+        }
+    }
+    std::vector<int> idx;
+    idx.reserve(3 * nj * (2 * ni - 2));
+    for (int i = 0; i < ni; i++) {
+        for (int j = 0; j < nj; j++) {
+            int j1 = (j + 1) % nj;
+            int a = i * nj + j;
+            int b = (i + 1) * nj + j;
+            int c = (i + 1) * nj + j1;
+            int d = i * nj + j1;
+            if (i > 0) { idx.push_back(a); idx.push_back(c); idx.push_back(d); }
+            if (i < ni - 1) { idx.push_back(a); idx.push_back(b); idx.push_back(c); }
+        }
+    }
+    return Model(idx, t, m, verts);
+}
+
+Scene denseMeshScene(int width, int height) {
+    Camera camera(Vec3(0, 0, -8), width, width, height, 0, 100);
+    camera.antiAliasingAmount = 1;
+    Scene scene(camera);
+
+    Material meshMat{.color = Vec3(0.85, 0.35, 0.2), .shininess = 64.0,
+                     .specular = 0.25, .transparency = 0.0,
+                     .refractiveIndex = 1.0};
+    Transform meshT{Vec3(0.137, 0.5, 8), Vec3(0, 0, 0), Vec3(1, 1, 1)};
+    Model mesh = bumpySphere(meshT, meshMat, 2.0, 48, 64, 0.15);
+    scene.AddModel(mesh);
+    Material floorMat{.color = Vec3(0.9, 0.9, 0.9)};
+    Plane floor(Vec3(0.0, -2.5, 0.0), Vec3(0.0, 1.0, 0.0), floorMat);
+    scene.AddPlane(floor);
+    Light l1(Vec3(-4.0, 6.0, -2.0), Vec3(1, 1, 1), 120.0);
+    Light l2(Vec3(4.0, 5.0, 2.0), Vec3(1, 1, 1), 90.0);
+    scene.AddLight(l1);
+    scene.AddLight(l2);
+    return scene;
+}
+
 void renderAndDump(const std::string& name, const Scene& scene, int w, int h) {
     auto t0 = std::chrono::high_resolution_clock::now();
     std::vector<Vec3> px = scene.RenderImage();
@@ -160,5 +217,6 @@ int main(int argc, char** argv) {
     renderAndDump("head_box_1080p", headBoxScene(1920, 1080), 1920, 1080);
     renderAndDump("baseline_spheres_256", baselineSphereScene(256, 256), 256, 256);
     renderAndDump("glass_256", glassScene(256, 256), 256, 256);
+    renderAndDump("dense_mesh_128", denseMeshScene(128, 128), 128, 128);
     return 0;
 }

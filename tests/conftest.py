@@ -46,7 +46,7 @@ def pytest_configure(config):
     import subprocess
 
     dumps = ["head_box_1000", "head_box_1080p", "baseline_spheres_256",
-             "glass_256"]
+             "glass_256", "dense_mesh_128"]
     missing = [n for n in dumps
                if not os.path.exists(os.path.join(_REFBUILD, n + ".hdr64"))]
     if not missing or shutil.which("g++") is None:

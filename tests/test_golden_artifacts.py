@@ -70,5 +70,16 @@ def test_pipeline_matches_pinned_golden(scene_name, op):
             f"{scene_name}/{op}: pixel ({y},{x}) ours={ours[y, x]} "
             f"gold={gold[y, x]} is not a silhouette seam tie"
         )
+        # A genuine seam tie sits ON an edge: at least one golden
+        # neighbor must differ visibly from the golden pixel itself
+        # (ADVICE r02 — otherwise a flat-background coincidence would
+        # also pass the neighbor-match test).
+        assert any(
+            np.abs(n.astype(int) - gold[y, x].astype(int)).max() > 1
+            for n in neighbors
+        ), (
+            f"{scene_name}/{op}: pixel ({y},{x}) diverges but sits in a "
+            f"flat region — not a seam tie"
+        )
     frac_exact = (diff == 0).mean()
     assert frac_exact > 0.95, f"{scene_name}/{op}: only {frac_exact:.1%} bytes exact"

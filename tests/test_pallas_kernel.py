@@ -98,3 +98,57 @@ def test_pipeline_use_pallas_flag():
     a = render_hdr(scene, camera, cfg_x)
     b = render_hdr(scene, camera, cfg_p)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_dense_mesh_beyond_old_prim_cap():
+    # >512 primitives through the fori-loop SMEM scan (the old MAX_PRIMS
+    # ceiling): a 1,080-triangle bumpy sphere must match the XLA
+    # integrator exactly. (The full 6,016-triangle scene runs on real TPU
+    # via bench.py; interpret mode keeps this test's mesh smaller.)
+    from raytracingengine_tpu.scenes.builders import dense_mesh_scene
+
+    scene, camera = dense_mesh_scene(width=8, height=8, spp=1, ni=16, nj=36)
+    flat = flatten_scene(scene)
+    assert flat.n_primitives > 512
+    assert ct.pallas_applicable(flat, CFG, "chain")
+    _parity(scene, camera)
+
+
+def test_dense_mesh_grad_falls_back_to_xla():
+    # Differentiating a dense-mesh render must NOT build the unrolled
+    # adjoint kernel (compile time is linear in primitive count); the
+    # custom_vjp backward falls back to XLA autodiff and still produces
+    # the XLA path's gradients.
+    from raytracingengine_tpu.kernels import chain_grad as cg
+    from raytracingengine_tpu.scenes.builders import dense_mesh_scene
+
+    scene, camera = dense_mesh_scene(width=8, height=8, spp=1, ni=16, nj=36)
+    flat = flatten_scene(scene)
+    assert flat.n_primitives > cg.MAX_PRIMS_GRAD
+    o, d = camera.rays_for_pixels(*camera.pixel_grid())
+
+    called = {"n": 0}
+    orig = cg.chain_grad_pallas
+
+    def spy(*a, **k):
+        called["n"] += 1
+        return orig(*a, **k)
+
+    cg.chain_grad_pallas = spy
+    try:
+        gk = jax.grad(
+            lambda fl: jnp.sum(cg.chain_trace_fused(fl, o, d, CFG) ** 2),
+            allow_int=True,
+        )(flat)
+    finally:
+        cg.chain_grad_pallas = orig
+    assert called["n"] == 0, "unrolled adjoint kernel must not run for dense meshes"
+    gx = jax.grad(
+        lambda fl: jnp.sum(integrate_chain(fl, o, d, CFG) ** 2),
+        allow_int=True,
+    )(flat)
+    for a, b in zip(jax.tree.leaves(gk), jax.tree.leaves(gx)):
+        a, b = np.asarray(a), np.asarray(b)
+        if not np.issubdtype(a.dtype, np.floating):
+            continue
+        np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-4)

@@ -76,6 +76,17 @@ def test_head_box_1000_vs_real_engine():
     _compare("head_box_1000", scene, cam, max_bad_frac=2e-5)
 
 
+@needs("dense_mesh_128")
+def test_dense_mesh_vs_real_engine():
+    # 6,016-triangle bumpy sphere through the reference's arbitrary-size
+    # Model loop (Shape.h:269-300) — the dense-mesh domain the old
+    # 512-primitive kernel ceiling excluded.
+    from raytracingengine_tpu.scenes.builders import dense_mesh_scene
+
+    scene, cam = dense_mesh_scene(128, 128, spp=1)
+    _compare("dense_mesh_128", scene, cam, max_bad_frac=2e-5)
+
+
 @needs("head_box_1080p")
 @pytest.mark.slow
 def test_head_box_1080p_vs_real_engine():

@@ -97,8 +97,28 @@ def test_spp_training_routes_through_fused_kernels():
         )
         return lambda s: jnp.sum(render_hdr(s, camera, cfg, key=key) ** 2)
 
-    lk, lx = make_loss(True), make_loss(False)
-    np.testing.assert_allclose(float(lk(scene)), float(lx(scene)), rtol=1e-5)
+    # Guard against vacuous passing (ADVICE r02): the scene/config must
+    # actually be kernel-eligible, and the fused kernel must be invoked.
+    from raytracingengine_tpu.geometry.intersect import flatten_scene
+    from raytracingengine_tpu.kernels import chain_grad as cg
+    from raytracingengine_tpu.kernels.chain_trace import pallas_applicable
+
+    cfg_probe = RenderConfig(shadow_mode="binary", differentiable=True)
+    assert pallas_applicable(flatten_scene(scene), cfg_probe, "chain")
+    calls = {"n": 0}
+    orig_fused = cg.chain_trace_pallas
+
+    def spy(*a, **k):
+        calls["n"] += 1
+        return orig_fused(*a, **k)
+
+    cg.chain_trace_pallas = spy
+    try:
+        lk, lx = make_loss(True), make_loss(False)
+        np.testing.assert_allclose(float(lk(scene)), float(lx(scene)), rtol=1e-5)
+        assert calls["n"] > 0, "use_pallas=True never reached the fused kernel"
+    finally:
+        cg.chain_trace_pallas = orig_fused
     gk = jax.grad(lk, allow_int=True)(scene)
     gx = jax.grad(lx, allow_int=True)(scene)
     total = 0.0
