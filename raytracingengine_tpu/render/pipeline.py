@@ -64,7 +64,23 @@ def _render_chunk(
         from raytracingengine_tpu.render.soft_primary import integrate_chain_soft
 
         integrate = integrate_chain_soft
-    elif cfg.use_pallas and prim_axis is None:
+    elif cfg.use_pallas and prim_axis is not None:
+        # A prims mesh axis shards the primitive tables, which the fused
+        # kernels keep whole in SMEM — only the XLA all-gather-argmin
+        # integrator understands a sharded primitive axis. Be loud about
+        # the fallback instead of silently ignoring use_pallas (VERDICT
+        # r02 weak #6).
+        import warnings
+
+        warnings.warn(
+            "use_pallas=True is ignored under a sharded primitive axis "
+            f"(prim_axis={prim_axis!r}); rendering through the XLA "
+            "integrator. Shard rays only (no prims axis) to keep the "
+            "fused kernels.",
+            stacklevel=2,
+        )
+        integrate = integrate_chain if mode == "chain" else integrate_wavefront
+    elif cfg.use_pallas:
         from raytracingengine_tpu.kernels.chain_grad import chain_trace_fused
         from raytracingengine_tpu.kernels.chain_trace import pallas_applicable
 
