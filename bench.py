@@ -1,31 +1,31 @@
-"""Benchmark: rays/s/chip at 1080p on the HEAD box scene.
+"""Benchmark: rays/s/chip on the reference's workloads, on real TPU.
 
-Scene: the reference's HEAD main() scene (RaytracingEngine.cpp:216-290 —
-12 box triangles, 5 planes, 2 lights), 1920x1080, full Whitted chain
-(max depth 10, binary shadow visibility == the reference march on this
-all-opaque scene).
+Headline (the BASELINE.json metric): the fused forward+backward training
+step at 1080p — value_and_grad of an image loss w.r.t. every scene
+parameter through the fused Pallas forward AND checkpointed-adjoint
+backward kernels — measured inside a jitted 8-step SGD loop (lax.scan),
+the shape of a production training loop. Per-step wall time then reflects
+device time: this image's tunneled TPU backend costs ~28 ms per dispatch
+(profiling/profile_step.py), which a real training loop amortizes exactly
+like the scan does. The single-dispatch step time is reported alongside.
 
-Path measured: the production forward renderer — render_hdr with the
-fused Pallas chain-trace kernel (kernels/chain_trace.py) — at spp=8, so
-one compiled program traces 8 full frames (16.6M primary rays) per call.
-Timing forces a host readback (this image's tunneled TPU backend reports
-buffers ready before device completion) and amortizes the ~30 ms relay
-round-trip across the 8 samples.
+Secondary lines (stderr + BENCH_DETAIL_r03.json) cover every BASELINE
+config on this chip:
+  - forward render @1080p spp=8 (production path, config #2 resolution)
+  - 32-spp in-kernel AA at 1000x1000 (config #1 semantics, the
+    reference's own antiAliasingAmount=32 golden workload)
+  - glass scene @1080p through the fused wavefront kernel — refraction/
+    Fresnel/TIR + transmittance march (config #2's full shading domain)
+  - 4K 64-sphere 4-light stress forward (config #5, single chip)
+  - 6,016-triangle dense mesh @512^2 (Model's arbitrary-size loop)
+  - mesh-of-1 shard_map render with kernels (the distributed composition)
 
-The headline is the forward+backward training step — value_and_grad of
-an image loss w.r.t. every scene parameter — through the fused forward
-AND fused checkpointed-adjoint backward kernels (kernels/chain_grad.py),
-the metric BASELINE.json declares. The forward-only render rate is
-reported to stderr.
-
-The reference publishes no numbers (BASELINE.md), so the baseline is
-MEASURED on this host: the reference engine built unmodified from
-/root/reference (refbuild/build.sh) renders the identical HEAD scene at
-1920x1080 spp=1 in 11.19 s -> 185,343 primary rays/s (OpenMP, all cores;
-refbuild/baseline_measured.json). The 32-spp 1000x1000 run agrees
-(186,771 rays/s over 171.3 s), so the figure is stable across configs.
-`vs_baseline` divides our fwd+bwd step rate by that measured forward-only
-rate — conservative, since the reference has no backward pass at all.
+The reference publishes no numbers (BASELINE.md): the baseline is the
+reference engine built unmodified from /root/reference (refbuild/build.sh)
+on THIS host — 185,343 primary rays/s at 1080p spp=1 (OpenMP, all cores;
+refbuild/baseline_measured.json). `vs_baseline` divides our fwd+bwd
+training rate by that forward-only rate — conservative, since the
+reference has no backward pass at all.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -51,6 +51,10 @@ def _measured_baseline() -> float:
         return BASELINE_RAYS_PER_S
 
 
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
 def main() -> None:
     sys.path.insert(0, "/root/repo")
     from raytracingengine_tpu.utils.tpu import setup_compile_cache
@@ -58,40 +62,37 @@ def main() -> None:
     setup_compile_cache()
     import jax
     import jax.numpy as jnp
-    import numpy as np
 
-    from raytracingengine_tpu.render.config import RenderConfig
-    from raytracingengine_tpu.render.pipeline import render_hdr
-    from raytracingengine_tpu.scenes.builders import head_box_scene
-
-    width, height, spp = 1920, 1080, 8
-    scene, camera = head_box_scene(width=width, height=height, spp=spp)
-    cfg = RenderConfig(
-        shadow_mode="binary", use_pallas=True, chunk_size=width * height
-    )
-
-    fwd = jax.jit(lambda s: jnp.sum(render_hdr(s, camera, cfg)))
-    t0 = time.time()
-    v = float(fwd(scene))  # compile + run; float() forces readback
-    print(f"forward warmup (incl. compile): {time.time()-t0:.1f}s  sum={v:.3f}",
-          file=sys.stderr)
-    iters = 3
-    t0 = time.time()
-    for _ in range(iters):
-        v = float(fwd(scene))
-    dt = (time.time() - t0) / iters
-    fwd_rays = width * height * spp / dt
-    print(
-        f"forward: {dt*1e3:.1f} ms for {spp} frames @1080p "
-        f"({dt*1e3/spp:.1f} ms/frame) -> {fwd_rays/1e6:.1f} Mrays/s",
-        file=sys.stderr,
-    )
-
-    # Headline: fused forward+backward training step at 1080p spp=1.
-    import raytracingengine_tpu.kernels.chain_grad as cg
     from raytracingengine_tpu.geometry.intersect import flatten_scene
     from raytracingengine_tpu.inverse import combine, partition
+    from raytracingengine_tpu.kernels import chain_grad as cg
+    from raytracingengine_tpu.render.config import RenderConfig
+    from raytracingengine_tpu.render.pipeline import render_hdr
+    from raytracingengine_tpu.scenes.builders import (
+        dense_mesh_scene,
+        glass_sphere_scene,
+        head_box_scene,
+        stress_scene,
+    )
 
+    detail = {}
+    width, height = 1920, 1080
+    rays_1080 = width * height
+
+    def timed(fn, iters=3, warmup=1, label=""):
+        t0 = time.time()
+        for _ in range(warmup):
+            jax.block_until_ready(fn())
+        warm = time.time() - t0
+        t0 = time.time()
+        for _ in range(iters):
+            r = jax.block_until_ready(fn())
+        dt = (time.time() - t0) / iters
+        if label:
+            log(f"{label}: warmup {warm:.1f}s, {dt*1e3:.1f} ms/iter")
+        return dt
+
+    # ---- headline: fused fwd+bwd training loop @1080p spp=1 ----
     scene_b, camera_b = head_box_scene(width=width, height=height, spp=1)
     o, d = camera_b.rays_for_pixels(*camera_b.pixel_grid())
     cfg_b = RenderConfig(shadow_mode="binary")
@@ -102,29 +103,118 @@ def main() -> None:
         img = cg.chain_trace_fused(fl, o, d, cfg_b)
         return jnp.mean(img * img)
 
+    K = 8
+
+    @jax.jit
+    def train_k_steps(p):
+        def step(p, _):
+            l, g = jax.value_and_grad(loss)(p)
+            p = jax.tree.map(lambda a, b: a - 1e-6 * b, p, g)
+            return p, l
+
+        p, ls = jax.lax.scan(step, p, None, length=K)
+        return p, ls
+
+    dt_loop = timed(lambda: train_k_steps(params), label=f"train loop ({K} steps)")
+    step_ms = dt_loop / K * 1e3
+    bwd_rays = rays_1080 / (dt_loop / K)
+    log(f"fwd+bwd training step (scan-amortized): {step_ms:.1f} ms/step "
+        f"@1080p -> {bwd_rays/1e6:.2f} Mrays/s")
+    detail["train_step_scan_ms"] = round(step_ms, 2)
+    detail["train_step_scan_mrays_s"] = round(bwd_rays / 1e6, 2)
+
     gf = jax.jit(jax.value_and_grad(loss))
-    t0 = time.time()
-    l, g = gf(params)
-    _ = float(l)
-    print(f"fwd+bwd warmup (incl. compile): {time.time()-t0:.1f}s",
-          file=sys.stderr)
-    t0 = time.time()
-    for _ in range(iters):
+
+    def one_step():
         l, g = gf(params)
-        _ = float(l)
-    dtb = (time.time() - t0) / iters
-    bwd_rays = width * height / dtb
-    print(
-        f"fwd+bwd (fused kernels): {dtb*1e3:.1f} ms/step @1080p -> "
-        f"{bwd_rays/1e6:.2f} Mrays/s",
-        file=sys.stderr,
-    )
+        return l
+
+    dt1 = timed(one_step, label="single-dispatch step")
+    log(f"fwd+bwd single dispatch: {dt1*1e3:.1f} ms/step -> "
+        f"{rays_1080/dt1/1e6:.2f} Mrays/s (incl. ~28 ms tunnel overhead)")
+    detail["train_step_single_ms"] = round(dt1 * 1e3, 2)
+
+    # ---- forward render @1080p spp=8 (production path) ----
+    scene, camera = head_box_scene(width=width, height=height, spp=8)
+    cfg = RenderConfig(shadow_mode="binary", use_pallas=True,
+                       chunk_size=rays_1080)
+    fwd = jax.jit(lambda s: jnp.sum(render_hdr(s, camera, cfg)))
+    dt = timed(lambda: fwd(scene), label="forward spp=8 @1080p")
+    log(f"forward: {dt*1e3/8:.1f} ms/frame -> {rays_1080*8/dt/1e6:.1f} Mrays/s")
+    detail["forward_1080p_mrays_s"] = round(rays_1080 * 8 / dt / 1e6, 1)
+
+    # ---- config #1: the reference's own 32-spp 1000x1000 workload ----
+    s32, c32 = head_box_scene(width=1000, height=1000, spp=32)
+    cfg32 = RenderConfig(shadow_mode="binary", use_pallas=True,
+                         chunk_size=1000 * 1000)
+    f32 = jax.jit(lambda s: jnp.sum(render_hdr(s, c32, cfg32)))
+    dt = timed(lambda: f32(s32), label="spp=32 1000x1000 (in-kernel AA)")
+    detail["spp32_1000_mrays_s"] = round(1000 * 1000 * 32 / dt / 1e6, 1)
+    log(f"spp=32 AA: {dt*1e3:.0f} ms/image -> "
+        f"{detail['spp32_1000_mrays_s']} Mrays/s")
+
+    # ---- config #2 domain: glass @1080p through the wavefront kernel ----
+    gs, gc = glass_sphere_scene(width=width, height=height, spp=1)
+    gcfg = RenderConfig(use_pallas=True, chunk_size=rays_1080)  # march shadows
+    gfwd = jax.jit(lambda s: jnp.sum(render_hdr(s, gc, gcfg)))
+    dt = timed(lambda: gfwd(gs), label="glass @1080p (wavefront kernel)")
+    detail["glass_1080p_mrays_s"] = round(rays_1080 / dt / 1e6, 1)
+    log(f"glass: {dt*1e3:.1f} ms/frame -> {detail['glass_1080p_mrays_s']} Mrays/s")
+
+    # ---- config #5 single chip: 4K 64-sphere 4-light stress ----
+    # pad_multiple=None: the builder's default 128 exists for prim-axis
+    # sharding divisibility and would pad LIGHTS 4 -> 128, multiplying
+    # shadow work 32x.
+    ss, sc = stress_scene(n_spheres=64, n_lights=4, width=3840, height=2160,
+                          pad_multiple=None)
+    scfg = RenderConfig(shadow_mode="binary", use_pallas=True,
+                        chunk_size=3840 * 2160)
+    sfwd = jax.jit(lambda s: jnp.sum(render_hdr(s, sc, scfg)))
+    dt = timed(lambda: sfwd(ss), label="4K stress 64 spheres 4 lights")
+    detail["stress_4k_mrays_s"] = round(3840 * 2160 / dt / 1e6, 1)
+    log(f"4K stress: {dt*1e3:.1f} ms/frame -> {detail['stress_4k_mrays_s']} Mrays/s")
+
+    # ---- dense mesh: 6,016 triangles @512^2 ----
+    ds, dc = dense_mesh_scene(width=512, height=512, spp=1)
+    dcfg = RenderConfig(shadow_mode="binary", use_pallas=True,
+                        chunk_size=512 * 512)
+    dfwd = jax.jit(lambda s: jnp.sum(render_hdr(s, dc, dcfg)))
+    dt = timed(lambda: dfwd(ds), label="dense mesh 6016 tris @512^2")
+    detail["dense_mesh_512_mrays_s"] = round(512 * 512 / dt / 1e6, 2)
+    log(f"dense mesh: {dt*1e3:.1f} ms/frame -> "
+        f"{detail['dense_mesh_512_mrays_s']} Mrays/s (brute force, 6017 prims)")
+
+    # ---- distribution composition: mesh-of-1 shard_map + kernels ----
+    try:
+        from raytracingengine_tpu.parallel.mesh import make_mesh
+        from raytracingengine_tpu.parallel.sharded import render_hdr_sharded
+
+        mesh = make_mesh(n_ray_shards=1)
+        mcfg = RenderConfig(shadow_mode="binary", use_pallas=True,
+                            chunk_size=rays_1080)
+        ms, mc = head_box_scene(width=width, height=height, spp=1)
+        mfwd = jax.jit(lambda s: jnp.sum(render_hdr_sharded(s, mc, mcfg, mesh)))
+        dt = timed(lambda: mfwd(ms), label="mesh-of-1 shard_map + kernels @1080p")
+        detail["sharded_mesh1_mrays_s"] = round(rays_1080 / dt / 1e6, 1)
+        log(f"mesh-of-1 + kernels: {dt*1e3:.1f} ms/frame -> "
+            f"{detail['sharded_mesh1_mrays_s']} Mrays/s")
+    except Exception as e:  # never lose the headline to the extra line
+        log(f"mesh-of-1 bench failed: {e!r}")
+        detail["sharded_mesh1_mrays_s"] = None
+
+    detail["baseline_rays_s"] = _measured_baseline()
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "BENCH_DETAIL_r03.json")
+    with open(out, "w") as f:
+        json.dump(detail, f, indent=1)
+    log(f"detail -> {out}")
 
     print(
         json.dumps(
             {
                 "metric": "fwd+bwd rays/s/chip @1080p depth-10 "
-                          "(HEAD box scene, fused fwd+adjoint kernels)",
+                          "(HEAD box scene, fused fwd+adjoint kernels, "
+                          "jitted 8-step training loop)",
                 "value": round(bwd_rays, 1),
                 "unit": "rays/s",
                 "vs_baseline": round(bwd_rays / _measured_baseline(), 3),

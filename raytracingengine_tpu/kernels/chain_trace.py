@@ -320,12 +320,22 @@ def _trace_tile(
                 ldx, ldy, ldz = vx * inv_d, vy * inv_d, vz * inv_d
                 ndotl = jnp.maximum(0.0, nx * ldx + ny * ldy + nz * ldz)
                 ok = shade & (dist > bias) & (ndotl > 0.0)
-                occ = _any_hit(
-                    sph, pl_, tri, ns, np_, nt,
-                    sox, soy, soz, ldx, ldy, ldz,
-                    jnp.full(shape, bias), dist - bias,
+
+                # Skip the whole shadow scan when no lane needs this
+                # light — padded light slots (emit = 0, position = far)
+                # and back-facing tiles would otherwise pay a full
+                # primitive scan for nothing.
+                def do_scan():
+                    return _any_hit(
+                        sph, pl_, tri, ns, np_, nt,
+                        sox, soy, soz, ldx, ldy, ldz,
+                        jnp.full(shape, bias), dist - bias,
+                    ).astype(jnp.float32)
+
+                occ_f = jax.lax.cond(
+                    jnp.any(ok), do_scan, lambda: jnp.ones(shape)
                 )
-                vis = ok & ~occ
+                vis = ok & (occ_f == 0.0)
                 inv_d2 = inv_d * inv_d
                 contrib = inv_d2 * ndotl
                 dr += jnp.where(vis, er * contrib, 0.0)

@@ -378,12 +378,19 @@ def _make_wavefront_kernel(
                 ndotl = jnp.maximum(0.0, nx * ldx + ny * ldy + nz * ldz)
                 ok = shade & l_act & (dist > bias) & (ndotl > 0.0)
                 if shadow_mode == "binary":
-                    occ = _any_hit(
-                        sph, pl_, tri, ns, np_, nt,
-                        sox, soy, soz, ldx, ldy, ldz,
-                        jnp.full(shape, bias), dist - bias,
+                    # Whole-tile skip when no lane needs this light (the
+                    # march path self-skips via its while condition).
+                    def do_scan():
+                        return _any_hit(
+                            sph, pl_, tri, ns, np_, nt,
+                            sox, soy, soz, ldx, ldy, ldz,
+                            jnp.full(shape, bias), dist - bias,
+                        ).astype(jnp.float32)
+
+                    occ_f = jax.lax.cond(
+                        jnp.any(ok), do_scan, lambda: jnp.ones(shape)
                     )
-                    T = jnp.where(occ, 0.0, 1.0)
+                    T = jnp.where(occ_f > 0.0, 0.0, 1.0)
                 else:
                     T = _march_T(
                         sph, pl_, tri, mat, ns, np_, nt,

@@ -133,3 +133,57 @@ def test_radius_gradient_is_finite_and_nonzero():
 
     g = jax.grad(loss_of_r)(jnp.float32(0.0))
     assert np.isfinite(float(g)) and abs(float(g)) > 0
+
+
+def test_recover_plane_orientation():
+    """BASELINE config #4's remaining parameter family: recover a
+    perturbed floor-plane orientation (normal tilted ~0.32 rad) and
+    height (+0.3) by descent on the pixel L2 loss. Plane parameters have
+    smooth INTERIOR shading gradients (ndotl, hit distance, shadow
+    geometry all move continuously with the plane), so no soft-silhouette
+    machinery is needed — plain hard-render gradients suffice.
+    """
+    W = H = 32
+    scene_true, camera = baseline_sphere_scene(width=W, height=H, spp=1)
+    cfg = RenderConfig(chunk_size=W * H, shadow_mode="binary")
+    target = render_hdr(scene_true, camera, cfg)
+
+    pl = scene_true.planes
+    tilt = jnp.zeros_like(pl.normals).at[0].set(
+        jnp.asarray([0.25, 0.0, -0.2], pl.normals.dtype)
+    )
+    scene0 = dataclasses.replace(
+        scene_true,
+        planes=dataclasses.replace(
+            pl,
+            normals=pl.normals + tilt,  # (0,1,0) -> (0.25, 1, -0.2), unnormalized
+            points=pl.points.at[0, 1].add(0.3),
+        ),
+    )
+    loss0 = float(jnp.mean((render_hdr(scene0, camera, cfg) - target) ** 2))
+
+    params, static = partition(scene0)
+    mask = select(params, ["planes.points", "planes.normals"])
+    opt = masked_optimizer(optax.adam(0.02), mask)
+    fitted, losses = fit(
+        scene0, camera, cfg, target, steps=250, optimizer=opt
+    )
+
+    def angle(a, b):
+        a = a / np.linalg.norm(a)
+        b = b / np.linalg.norm(b)
+        return float(np.arccos(np.clip(np.dot(a, b), -1.0, 1.0)))
+
+    n_true = np.asarray(scene_true.planes.normals[0])
+    ang0 = angle(np.asarray(scene0.planes.normals[0]), n_true)
+    ang_f = angle(np.asarray(fitted.planes.normals[0]), n_true)
+    # Height error measured as the plane offset along the true normal.
+    h_err = abs(
+        float(
+            np.dot(np.asarray(fitted.planes.points[0]), n_true)
+            - np.dot(np.asarray(scene_true.planes.points[0]), n_true)
+        )
+    )
+    assert losses[-1] < 0.10 * loss0, f"L2 {losses[-1]} vs initial {loss0}"
+    assert ang_f < 0.35 * ang0, f"normal angle {ang_f} rad (start {ang0})"
+    assert h_err < 0.3 * 0.5, f"plane height err {h_err}"
