@@ -9,9 +9,12 @@ Replaces the reference's OpenMP pixel loop (Scene.h:318-320) with a
     triangle shard, winners combine via all_gather argmin inside
     `closest_hit`),
   * gradients w.r.t. replicated scene parameters are psum-reduced across
-    the mesh automatically by shard_map's transpose, and XLA's
-    latency-hiding scheduler overlaps that collective with the remaining
-    backward compute (BASELINE north star).
+    the mesh automatically by shard_map's transpose. In the compiled
+    8-chip program (PROFILE.md §5: AOT-compiled for a v5e:2x4 topology),
+    XLA's all-reduce combiner merges ALL scene-gradient psums into ONE
+    ~1.3 kB tuple all-reduce issued after the fused backward kernel —
+    with a monolithic backward there is no residual compute to overlap
+    it with, and at ~1 us on ICI vs a ~24 ms backward none is needed.
 
 The image edge is padded so the ray axis divides evenly; padding pixels
 trace real rays and are cropped on return.
@@ -135,3 +138,51 @@ def render_hdr_auto(
     from raytracingengine_tpu.render.pipeline import render_hdr
 
     return render_hdr(scene, camera, cfg, key=key, mode=mode, mesh=mesh)
+
+
+def make_sharded_loss(static, cfg: RenderConfig, mesh: Mesh, mode: str = "chain"):
+    """Multi-chip training loss through the FUSED kernels: shard_map over
+    the ray axis, scene parameters replicated.
+
+    Real TPU lowering cannot auto-partition Mosaic kernels (GSPMD raises
+    "wrap the call in a shard_map" — verified by AOT-compiling for a
+    v5e:2x4 topology), so this wrapper is THE way to combine the fused
+    forward+backward kernels with a device mesh. shard_map's transpose
+    inserts the psum of the replicated scene-parameter gradients
+    automatically; XLA's latency-hiding scheduler overlaps it with the
+    remaining backward compute (see PROFILE.md).
+
+    Returns loss(params, o, d, target) -> scalar mean-squared error;
+    o/d/target lead with a ray axis divisible by mesh.shape[RAY_AXIS].
+    """
+    from raytracingengine_tpu.inverse import combine
+    from raytracingengine_tpu.kernels.chain_grad import chain_trace_fused
+    from raytracingengine_tpu.kernels.chain_trace import pallas_applicable
+    from raytracingengine_tpu.kernels.wavefront_trace import wavefront_trace
+    from raytracingengine_tpu.render.integrator import (
+        integrate_chain,
+        integrate_wavefront,
+    )
+
+    def loss(params, o, d, target):
+        n_elems = target.size
+
+        def local(p, oo, dd, tt):
+            flat = flatten_scene(combine(p, static))
+            if cfg.use_pallas and pallas_applicable(flat, cfg, mode):
+                trace = chain_trace_fused if mode == "chain" else wavefront_trace
+            else:
+                trace = integrate_chain if mode == "chain" else integrate_wavefront
+            img = trace(flat, oo, dd, cfg)
+            return jax.lax.psum(jnp.sum((img - tt) ** 2), RAY_AXIS)
+
+        fn = jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(), P(RAY_AXIS), P(RAY_AXIS), P(RAY_AXIS)),
+            out_specs=P(),
+            check_vma=False,
+        )
+        return fn(params, o, d, target) / n_elems
+
+    return loss

@@ -154,6 +154,25 @@ def render_hdr(
     """
     if key is None:
         key = jax.random.PRNGKey(0)
+    if mesh is not None and mesh.size > 1 and cfg.use_pallas:
+        # Real-TPU lowering refuses to auto-partition Mosaic kernels
+        # ("Mosaic kernels cannot be automatically partitioned. Please
+        # wrap the call in a shard_map") — discovered by AOT-compiling
+        # this path for a v5e:2x4 topology. Interpret-mode CPU tests
+        # would NOT catch it: the interpreter lowers to partitionable
+        # XLA ops. Fall back to the XLA integrator here and point users
+        # at the shard_map path, which composes with the kernels.
+        import dataclasses
+        import warnings
+
+        warnings.warn(
+            "use_pallas=True under a multi-device GSPMD mesh: Mosaic "
+            "kernels cannot be auto-partitioned; rendering through the "
+            "XLA integrator. Use parallel.sharded.render_hdr_sharded "
+            "(shard_map) to combine the fused kernels with a mesh.",
+            stacklevel=2,
+        )
+        cfg = dataclasses.replace(cfg, use_pallas=False)
     flat = flatten_scene(scene)
     m = mode or resolve_mode(scene, cfg)
 

@@ -145,16 +145,23 @@ def test_pallas_kernels_under_ray_mesh(monkeypatch):
     )
 
 
-def test_pallas_under_gspmd_mesh(monkeypatch):
+def test_pallas_under_gspmd_mesh_falls_back(monkeypatch):
     """use_pallas under the GSPMD auto-partitioned path (render_hdr with
-    mesh=...): XLA treats the kernel as an opaque unit and inserts the
-    collectives; result must match the single-device render."""
-    _interpret_pallas(monkeypatch)
+    mesh=...) must fall back to the XLA integrator WITH a warning: real
+    TPU lowering refuses to auto-partition Mosaic kernels ("wrap the
+    call in a shard_map"), which interpret-mode CPU tests cannot see —
+    verified by AOT-compiling for a v5e:2x4 topology. The shard_map path
+    (test_pallas_kernels_under_ray_mesh) is the kernel+mesh composition."""
+    import warnings
+
     scene, camera = head_box_scene(width=16, height=16, spp=1)
     cfg = RenderConfig(shadow_mode="binary", chunk_size=256, use_pallas=True)
     mesh = make_mesh()
-    img_s = render_hdr_auto(scene, camera, cfg, mesh)
-    img_1 = render_hdr(scene, camera, cfg)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        img_s = render_hdr_auto(scene, camera, cfg, mesh)
+    assert any("shard_map" in str(w.message) for w in caught)
+    img_1 = render_hdr(scene, camera, RenderConfig(shadow_mode="binary", chunk_size=256))
     np.testing.assert_allclose(
         np.asarray(img_s), np.asarray(img_1), rtol=1e-4, atol=1e-4
     )
@@ -179,32 +186,35 @@ def test_use_pallas_with_prim_axis_warns():
 
 
 def test_sharded_training_step_through_fused_kernels(monkeypatch):
-    """The full multi-chip training composition: ray-sharded mesh +
-    fused fwd/bwd kernels; sharded scene-parameter grads must psum to the
-    single-device grads (the BASELINE north-star composition)."""
+    """The full multi-chip training composition: shard_map over rays +
+    fused fwd/bwd kernels (make_sharded_loss — the ONLY composition real
+    TPU lowering accepts for Mosaic kernels); the psum-reduced
+    scene-parameter grads must match the single-device grads."""
     _interpret_pallas(monkeypatch)
     from raytracingengine_tpu.geometry.intersect import flatten_scene
     from raytracingengine_tpu.inverse import combine, partition
     from raytracingengine_tpu.kernels.chain_grad import chain_trace_fused
+    from raytracingengine_tpu.parallel.sharded import make_sharded_loss
 
     scene, camera = baseline_sphere_scene(width=16, height=8, spp=1)
-    cfg = RenderConfig(shadow_mode="binary")
+    cfg = RenderConfig(shadow_mode="binary", use_pallas=True)
     params, static = partition(scene)
     o, d = camera.rays_for_pixels(*camera.pixel_grid())
-    mesh = make_mesh()
+    mesh = make_mesh()  # 8-way rays; 16*8 = 128 rays divide evenly
 
-    from jax.sharding import NamedSharding, PartitionSpec as P
-
-    def loss(p, oo, dd):
+    def loss_1(p):
         fl = flatten_scene(combine(p, static))
-        img = chain_trace_fused(fl, oo, dd, cfg)
+        img = chain_trace_fused(fl, o, d, cfg)
         return jnp.mean(img * img)
 
-    g1 = jax.grad(loss)(params, o, d)
-    sh = NamedSharding(mesh, P("rays"))
-    o_s = jax.device_put(o, sh)
-    d_s = jax.device_put(d, sh)
-    g8 = jax.jit(jax.grad(loss))(params, o_s, d_s)
+    target = jnp.zeros((o.shape[0], 3), o.dtype)
+    loss_8 = make_sharded_loss(static, cfg, mesh)
+    l1 = float(loss_1(params))
+    l8 = float(jax.jit(loss_8)(params, o, d, target))
+    np.testing.assert_allclose(l8, l1, rtol=1e-6)
+
+    g1 = jax.grad(loss_1)(params)
+    g8 = jax.jit(jax.grad(loss_8))(params, o, d, target)
     for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g8)):
         if a.size == 0:
             continue
