@@ -43,6 +43,10 @@ def _build_scene(args):
         from raytracingengine_tpu.scenes.builders import stress_scene
 
         return stress_scene(**kw)
+    if args.scene == "dense_mesh":
+        from raytracingengine_tpu.scenes.builders import dense_mesh_scene
+
+        return dense_mesh_scene(**kw)
     from raytracingengine_tpu.scenes.config import load_scene_json
 
     return load_scene_json(
@@ -75,12 +79,16 @@ def cmd_render(args) -> int:
         max_depth=args.max_depth,
         chunk_size=args.chunk_size,
         shadow_mode=args.shadow_mode,
+        use_pallas=args.use_pallas,
     )
     if args.mesh:
-        from raytracingengine_tpu.parallel import make_mesh, render_hdr_auto
+        from raytracingengine_tpu.parallel import make_mesh
+        from raytracingengine_tpu.parallel.sharded import render_hdr_sharded
 
+        # shard_map path: the only composition that keeps the fused
+        # kernels under a multi-device mesh (see parallel/sharded.py).
         mesh = make_mesh()
-        render = jax.jit(lambda s: render_hdr_auto(s, camera, cfg, mesh))
+        render = jax.jit(lambda s: render_hdr_sharded(s, camera, cfg, mesh))
     else:
         render = jax.jit(lambda s: render_hdr(s, camera, cfg))
 
@@ -202,6 +210,8 @@ def main(argv=None) -> int:
                    help="operator name or 'all' (the 7-operator family)")
     r.add_argument("--max-depth", type=int, default=10)
     r.add_argument("--chunk-size", type=int, default=65536)
+    r.add_argument("--use-pallas", action="store_true",
+                   help="fused Pallas kernels (chain/wavefront/spp)")
     r.add_argument("--shadow-mode", choices=["march", "binary", "soft"],
                    default="march")
     r.add_argument("--mesh", action="store_true",
