@@ -48,6 +48,79 @@ TILE = SUB * LANE  # rays per kernel instance
 
 _INF = 3.0e38
 
+#: Triangles per culling block: the scan tests one conservative AABB per
+#: block against the whole ray tile and skips blocks no ray can touch
+#: (lax.cond). Exact-result-preserving: skipped blocks have no hits.
+TRI_BLOCK = 256
+
+
+def pack_tri_aabbs(flat: FlatScene, block: int = TRI_BLOCK):
+    """Per-block triangle AABBs -> [6, n_blocks] (lo.xyz, hi.xyz).
+
+    Inactive/padded triangles contribute nothing (+inf lo / -inf hi), so
+    an all-padding block can never pass the slab test. Boxes are inflated
+    by a relative epsilon so fp32 slab-test roundoff can't exclude a
+    boundary-grazing hit the exact scan would find."""
+    dt = jnp.float32
+    nt = flat.n_triangles
+    if nt == 0:
+        return jnp.zeros((6, 1), dt)
+    v0 = flat.tri_v0
+    v1 = flat.tri_v0 + flat.tri_e1
+    v2 = flat.tri_v0 + flat.tri_e2
+    act = flat.tri_active[:, None]
+    big = jnp.asarray(_INF, dt)
+    los = jnp.where(act, jnp.minimum(jnp.minimum(v0, v1), v2), big)
+    his = jnp.where(act, jnp.maximum(jnp.maximum(v0, v1), v2), -big)
+    n_blocks = -(-nt // block)
+    pad = n_blocks * block - nt
+    los = jnp.pad(los, ((0, pad), (0, 0)), constant_values=_INF)
+    his = jnp.pad(his, ((0, pad), (0, 0)), constant_values=-_INF)
+    lo = jnp.min(los.reshape(n_blocks, block, 3), axis=1)  # [n_blocks,3]
+    hi = jnp.max(his.reshape(n_blocks, block, 3), axis=1)
+    eps = jnp.maximum(hi - lo, 0.0) * 1e-5 + 1e-5
+    lo = lo - eps
+    hi = hi + eps
+    # All-padding blocks have inverted (+inf/-inf) bounds, which the slab
+    # test's per-axis min/max would normalize into a hit-everything box.
+    # Represent them as a far point box instead: every ray misses it
+    # (t ~ 1e38 exceeds any segment bound; sign mismatches across axes
+    # empty the interval).
+    empty = jnp.any(lo > hi, axis=1, keepdims=True)
+    far = jnp.asarray(2.0e38, dt)
+    lo = jnp.where(empty, far, lo)
+    hi = jnp.where(empty, far, hi)
+    return jnp.concatenate([lo.T, hi.T], axis=0).astype(dt)  # [6, n_blocks]
+
+
+def _block_hits_tile(aabb, b, ox, oy, oz, dx, dy, dz, interest, t_hi):
+    """Conservative: does ANY interested lane's ray segment [0, t_hi]
+    intersect block b's AABB? Slab method with sign-preserving clamp of
+    near-zero direction components (keeps the test NaN-free and errs
+    toward True)."""
+    def inv(d):
+        tiny = jnp.abs(d) < 1e-12
+        safe = jnp.where(tiny, jnp.where(d < 0.0, -1e-12, 1e-12), d)
+        return 1.0 / safe
+
+    ivx, ivy, ivz = inv(dx), inv(dy), inv(dz)
+    t1x = (aabb[0, b] - ox) * ivx
+    t2x = (aabb[3, b] - ox) * ivx
+    t1y = (aabb[1, b] - oy) * ivy
+    t2y = (aabb[4, b] - oy) * ivy
+    t1z = (aabb[2, b] - oz) * ivz
+    t2z = (aabb[5, b] - oz) * ivz
+    tmin = jnp.maximum(
+        jnp.maximum(jnp.minimum(t1x, t2x), jnp.minimum(t1y, t2y)),
+        jnp.minimum(t1z, t2z),
+    )
+    tmax = jnp.minimum(
+        jnp.minimum(jnp.maximum(t1x, t2x), jnp.maximum(t1y, t2y)),
+        jnp.maximum(t1z, t2z),
+    )
+    hit = (tmax >= tmin) & (tmax >= 0.0) & (tmin <= t_hi)
+    return jnp.any(hit & interest)
+
 
 def _sky(dx, dy, dz):
     """Scene.h:30-33 on unit directions."""
@@ -59,12 +132,18 @@ def _sky(dx, dy, dz):
     )
 
 
-def _closest_hit(sph, pl_, tri, mat, ns, np_, nt, ox, oy, oz, dx, dy, dz):
+def _closest_hit(
+    sph, pl_, tri, mat, ns, np_, nt, ox, oy, oz, dx, dy, dz,
+    taabb=None, interest=None,
+):
     """Linear scan over SMEM primitive tables -> best-hit state.
 
     Returns (t, nx, ny, nz, ar, ag, ab, spec, shin); t >= _INF means miss.
     Strict < updates reproduce the reference's first-wins tie-break in
-    family order (spheres, planes, triangles).
+    family order (spheres, planes, triangles). With `taabb` (per-block
+    triangle AABBs, pack_tri_aabbs) the triangle scan skips whole blocks
+    no `interest` lane's ray can touch — result-identical, since skipped
+    blocks contain no hits for any lane whose output is used.
     """
     shape = ox.shape
     # Single packed carry [9, SUB, LANE]: (t, nx, ny, nz, ar, ag, ab, sp, sh).
@@ -164,16 +243,40 @@ def _closest_hit(sph, pl_, tri, mat, ns, np_, nt, ox, oy, oz, dx, dy, dz):
 
     carry = jax.lax.fori_loop(0, ns, sphere_body, carry)
     carry = jax.lax.fori_loop(0, np_, plane_body, carry)
-    carry = jax.lax.fori_loop(0, nt, tri_body, carry)
+    if taabb is not None and nt > TRI_BLOCK:
+        want = interest if interest is not None else jnp.ones(shape) > 0.0
+        n_blocks = -(-nt // TRI_BLOCK)
+
+        def blk_body(b, carry):
+            any_hit_blk = _block_hits_tile(
+                taabb, b, ox, oy, oz, dx, dy, dz, want, _INF
+            )
+            lo_i = b * TRI_BLOCK
+            hi_i = jnp.minimum(lo_i + TRI_BLOCK, nt)
+            return jax.lax.cond(
+                any_hit_blk,
+                lambda c: jax.lax.fori_loop(lo_i, hi_i, tri_body, c),
+                lambda c: c,
+                carry,
+            )
+
+        carry = jax.lax.fori_loop(0, n_blocks, blk_body, carry)
+    else:
+        carry = jax.lax.fori_loop(0, nt, tri_body, carry)
     return tuple(carry[i] for i in range(9))
 
 
-def _any_hit(sph, pl_, tri, ns, np_, nt, ox, oy, oz, dx, dy, dz, lo, hi):
+def _any_hit(
+    sph, pl_, tri, ns, np_, nt, ox, oy, oz, dx, dy, dz, lo, hi,
+    taabb=None, interest=None,
+):
     """Binary occlusion: any primitive with lo < t < hi (per lane).
 
     The accumulator is float32 (1.0 = occluded): Mosaic cannot carry an
     i1 vector through an scf.for loop (roll_vectors on i1 fails to
     legalize), so booleans are materialized as 0/1 floats in the carry.
+    With `taabb`, triangle blocks outside every interested lane's shadow
+    segment are skipped (same conservative test as _closest_hit).
     """
     occ0 = jnp.zeros(ox.shape, jnp.float32)
     a_coef = dx * dx + dy * dy + dz * dz
@@ -230,13 +333,32 @@ def _any_hit(sph, pl_, tri, ns, np_, nt, ox, oy, oz, dx, dy, dz, lo, hi):
 
     occ = jax.lax.fori_loop(0, ns, sphere_body, occ0)
     occ = jax.lax.fori_loop(0, np_, plane_body, occ)
-    occ = jax.lax.fori_loop(0, nt, tri_body, occ)
+    if taabb is not None and nt > TRI_BLOCK:
+        want = interest if interest is not None else jnp.ones(ox.shape) > 0.0
+        n_blocks = -(-nt // TRI_BLOCK)
+
+        def blk_body(b, occ):
+            any_hit_blk = _block_hits_tile(
+                taabb, b, ox, oy, oz, dx, dy, dz, want & (occ == 0.0), hi
+            )
+            lo_i = b * TRI_BLOCK
+            hi_i = jnp.minimum(lo_i + TRI_BLOCK, nt)
+            return jax.lax.cond(
+                any_hit_blk,
+                lambda c: jax.lax.fori_loop(lo_i, hi_i, tri_body, c),
+                lambda c: c,
+                occ,
+            )
+
+        occ = jax.lax.fori_loop(0, n_blocks, blk_body, occ)
+    else:
+        occ = jax.lax.fori_loop(0, nt, tri_body, occ)
     return occ > 0.0
 
 
 def _trace_tile(
     sph, pl_, tri, mat, light, ns, np_, nt, nl, max_depth, bias,
-    ox0, oy0, oz0, dx0, dy0, dz0, live0=None, min_weight=0.0,
+    ox0, oy0, oz0, dx0, dy0, dz0, live0=None, min_weight=0.0, taabb=None,
 ):
     """Full Whitted chain for one [SUB, LANE] ray tile -> (r, g, b).
 
@@ -278,7 +400,8 @@ def _trace_tile(
             skr, skg, skb = _sky(dx, dy, dz)
 
             (t, nx, ny, nz, ar, ag, ab, spec, shin) = _closest_hit(
-                sph, pl_, tri, mat, ns, np_, nt, ox, oy, oz, dx, dy, dz
+                sph, pl_, tri, mat, ns, np_, nt, ox, oy, oz, dx, dy, dz,
+                taabb=taabb, interest=live,
             )
             hit = t < _INF
             miss = live & ~hit
@@ -330,6 +453,7 @@ def _trace_tile(
                         sph, pl_, tri, ns, np_, nt,
                         sox, soy, soz, ldx, ldy, ldz,
                         jnp.full(shape, bias), dist - bias,
+                        taabb=taabb, interest=ok,
                     ).astype(jnp.float32)
 
                 occ_f = jax.lax.cond(
@@ -411,7 +535,7 @@ def _make_kernel(
     min_weight: float = 0.0,
 ):
     def kernel(
-        sph_ref, pl_ref, tri_ref, mat_ref, light_ref,
+        sph_ref, pl_ref, tri_ref, taabb_ref, mat_ref, light_ref,
         ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, live_ref,
         r_ref, g_ref, b_ref,
     ):
@@ -420,7 +544,7 @@ def _make_kernel(
             ns, np_, nt, nl, max_depth, bias,
             ox_ref[:], oy_ref[:], oz_ref[:],
             dx_ref[:], dy_ref[:], dz_ref[:], live_ref[:],
-            min_weight=min_weight,
+            min_weight=min_weight, taabb=taabb_ref,
         )
         r_ref[:] = r
         g_ref[:] = g
@@ -515,6 +639,7 @@ def chain_trace_pallas(
     live = shape_ray(jnp.ones((r,), jnp.float32))
 
     sph, pl_, tri, mat, light = pack_scene_tables(flat)
+    taabb = pack_tri_aabbs(flat)
     kernel = _make_kernel(
         flat.n_spheres, flat.n_planes, flat.n_triangles, flat.n_lights,
         cfg.max_depth, cfg.bias, cfg.min_weight,
@@ -528,14 +653,15 @@ def chain_trace_pallas(
     out = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
-        in_specs=[smem(sph), smem(pl_), smem(tri), smem(mat), smem(light)]
+        in_specs=[smem(sph), smem(pl_), smem(tri), smem(taabb), smem(mat),
+                  smem(light)]
         + [ray_spec] * 7,
         out_specs=(ray_spec, ray_spec, ray_spec),
         out_shape=tuple(
             jax.ShapeDtypeStruct((n_tiles * SUB, LANE), jnp.float32)
             for _ in range(3)
         ),
-    )(sph, pl_, tri, mat, light, ox, oy, oz, dx, dy, dz, live)
+    )(sph, pl_, tri, taabb, mat, light, ox, oy, oz, dx, dy, dz, live)
 
     rgb = jnp.stack([c.reshape(-1)[:r] for c in out], axis=-1)
     return rgb.astype(o.dtype)

@@ -63,7 +63,7 @@ def _make_spp_kernel(ns, np_, nt, nl, max_depth, bias, spp, min_weight=0.0):
     def kernel(
         seed_ref,  # SMEM [1] int32
         cam_ref,  # SMEM [4]: pos_x, pos_y, pos_z, focal
-        sph_ref, pl_ref, tri_ref, mat_ref, light_ref,
+        sph_ref, pl_ref, tri_ref, taabb_ref, mat_ref, light_ref,
         sx_ref, sy_ref,  # base screen coords per lane [SUB, LANE]
         live_ref,  # 0/1 validity (padding lanes dead, see chain_trace)
         r_ref, g_ref, b_ref,
@@ -92,7 +92,7 @@ def _make_spp_kernel(ns, np_, nt, nl, max_depth, bias, spp, min_weight=0.0):
                 ns, np_, nt, nl, max_depth, bias,
                 jnp.full(shape, cx), jnp.full(shape, cy), jnp.full(shape, cz),
                 ddx * inv, ddy * inv, ddz * inv, live_ref[:],
-                min_weight=min_weight,
+                min_weight=min_weight, taabb=taabb_ref,
             )
             return ar + r, ag + g, ab + b
 
@@ -137,7 +137,10 @@ def spp_trace_pallas(flat: FlatScene, camera, cfg, px, py, seed: int = 0):
         ]
     )
 
-    tables = pack_scene_tables(flat)
+    sph_t, pl_t, tri_t, mat_t, light_t = pack_scene_tables(flat)
+    from raytracingengine_tpu.kernels.chain_trace import pack_tri_aabbs
+
+    tables = (sph_t, pl_t, tri_t, pack_tri_aabbs(flat), mat_t, light_t)
     kernel = _make_spp_kernel(
         flat.n_spheres, flat.n_planes, flat.n_triangles, flat.n_lights,
         cfg.max_depth, cfg.bias, camera.spp, cfg.min_weight,

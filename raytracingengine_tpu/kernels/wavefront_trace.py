@@ -56,14 +56,42 @@ from raytracingengine_tpu.kernels.chain_trace import (
     LANE,
     SUB,
     TILE,
+    TRI_BLOCK,
     _INF,
     _any_hit,
+    _block_hits_tile,
     _sky,
     pack_scene_tables,
+    pack_tri_aabbs,
 )
 
 
-def _closest_hit_full(sph, pl_, tri, mat, ns, np_, nt, ox, oy, oz, dx, dy, dz):
+def _tri_scan_blocked(tri_body, nt, taabb, interest, t_hi,
+                      ox, oy, oz, dx, dy, dz, carry):
+    """Run `tri_body` over triangles, skipping AABB-culled blocks (same
+    conservative whole-tile test as chain_trace)."""
+    if taabb is None or nt <= TRI_BLOCK:
+        return jax.lax.fori_loop(0, nt, tri_body, carry)
+    n_blocks = -(-nt // TRI_BLOCK)
+
+    def blk_body(b, carry):
+        any_hit_blk = _block_hits_tile(
+            taabb, b, ox, oy, oz, dx, dy, dz, interest, t_hi
+        )
+        lo_i = b * TRI_BLOCK
+        hi_i = jnp.minimum(lo_i + TRI_BLOCK, nt)
+        return jax.lax.cond(
+            any_hit_blk,
+            lambda c: jax.lax.fori_loop(lo_i, hi_i, tri_body, c),
+            lambda c: c,
+            carry,
+        )
+
+    return jax.lax.fori_loop(0, n_blocks, blk_body, carry)
+
+
+def _closest_hit_full(sph, pl_, tri, mat, ns, np_, nt, ox, oy, oz, dx, dy, dz,
+                      taabb=None, interest=None):
     """Linear scan -> (t, nx, ny, nz, ar, ag, ab, spec, shin, tau, eta).
 
     Same predicates/tie-breaks as chain_trace._closest_hit, with the two
@@ -149,11 +177,15 @@ def _closest_hit_full(sph, pl_, tri, mat, ns, np_, nt, ox, oy, oz, dx, dy, dz):
 
     carry = jax.lax.fori_loop(0, ns, sphere_body, carry)
     carry = jax.lax.fori_loop(0, np_, plane_body, carry)
-    carry = jax.lax.fori_loop(0, nt, tri_body, carry)
+    want = interest if interest is not None else jnp.ones(shape) > 0.0
+    carry = _tri_scan_blocked(
+        tri_body, nt, taabb, want, _INF, ox, oy, oz, dx, dy, dz, carry
+    )
     return tuple(carry[i] for i in range(11))
 
 
-def _nearest_t_tau(sph, pl_, tri, mat, ns, np_, nt, ox, oy, oz, dx, dy, dz):
+def _nearest_t_tau(sph, pl_, tri, mat, ns, np_, nt, ox, oy, oz, dx, dy, dz,
+                   taabb=None, interest=None):
     """Reduced scan for the shadow march: (t, transparency) only."""
     shape = ox.shape
     carry = jnp.concatenate(
@@ -213,13 +245,16 @@ def _nearest_t_tau(sph, pl_, tri, mat, ns, np_, nt, ox, oy, oz, dx, dy, dz):
 
     carry = jax.lax.fori_loop(0, ns, sphere_body, carry)
     carry = jax.lax.fori_loop(0, np_, plane_body, carry)
-    carry = jax.lax.fori_loop(0, nt, tri_body, carry)
+    want = interest if interest is not None else jnp.ones(shape) > 0.0
+    carry = _tri_scan_blocked(
+        tri_body, nt, taabb, want, _INF, ox, oy, oz, dx, dy, dz, carry
+    )
     return carry[0], carry[1]
 
 
 def _march_T(
     sph, pl_, tri, mat, ns, np_, nt, bias, max_steps, min_t,
-    ox, oy, oz, ldx, ldy, ldz, max_dist, active,
+    ox, oy, oz, ldx, ldy, ldz, max_dist, active, taabb=None,
 ):
     """computeTransmittance (Scene.h:35-77) for one tile -> T [SUB, LANE].
 
@@ -242,7 +277,8 @@ def _march_T(
         cx, cy, cz, traveled, T, live_f, it = s
         live = live_f > 0.0
         t, tau_raw = _nearest_t_tau(
-            sph, pl_, tri, mat, ns, np_, nt, cx, cy, cz, ldx, ldy, ldz
+            sph, pl_, tri, mat, ns, np_, nt, cx, cy, cz, ldx, ldy, ldz,
+            taabb=taabb, interest=live,
         )
         valid = t < _INF
         t = jnp.where(valid, t, 0.0)
@@ -282,12 +318,13 @@ def _make_wavefront_kernel(
     cap = max_depth + 2  # DFS bound (integrator.py:169)
 
     def kernel(
-        sph_ref, pl_ref, tri_ref, mat_ref, light_ref,
+        sph_ref, pl_ref, tri_ref, taabb_ref, mat_ref, light_ref,
         ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, live_ref,
         r_ref, g_ref, b_ref,
         stack_ref,  # scratch [cap, 8, SUB, LANE]: ox..dz, weight, depth
     ):
         sph, pl_, tri, mat, light = sph_ref, pl_ref, tri_ref, mat_ref, light_ref
+        taabb = taabb_ref
         shape = (SUB, LANE)
         zero = jnp.zeros(shape)
         one = jnp.ones(shape)
@@ -336,7 +373,8 @@ def _make_wavefront_kernel(
 
             (t, nx, ny, nz, ar, ag, ab, spec, shin, tau_raw, eta_t) = (
                 _closest_hit_full(
-                    sph, pl_, tri, mat, ns, np_, nt, ox, oy, oz, dx, dy, dz
+                    sph, pl_, tri, mat, ns, np_, nt, ox, oy, oz, dx, dy, dz,
+                    taabb=taabb, interest=live,
                 )
             )
             hit = t < _INF
@@ -385,6 +423,7 @@ def _make_wavefront_kernel(
                             sph, pl_, tri, ns, np_, nt,
                             sox, soy, soz, ldx, ldy, ldz,
                             jnp.full(shape, bias), dist - bias,
+                            taabb=taabb, interest=ok,
                         ).astype(jnp.float32)
 
                     occ_f = jax.lax.cond(
@@ -396,6 +435,7 @@ def _make_wavefront_kernel(
                         sph, pl_, tri, mat, ns, np_, nt,
                         bias, shadow_max_steps, shadow_min_t,
                         sox, soy, soz, ldx, ldy, ldz, dist - bias, ok,
+                        taabb=taabb,
                     )
                 vis = ok & (T > bias)
                 inv_d2 = inv_d * inv_d
@@ -508,7 +548,8 @@ def wavefront_trace_pallas(
     dz = shape_ray(d[:, 2], fill=1.0)
     live = shape_ray(jnp.ones((r,), jnp.float32))
 
-    tables = pack_scene_tables(flat)
+    sph_t, pl_t, tri_t, mat_t, light_t = pack_scene_tables(flat)
+    tables = (sph_t, pl_t, tri_t, pack_tri_aabbs(flat), mat_t, light_t)
     kernel, cap = _make_wavefront_kernel(
         flat.n_spheres, flat.n_planes, flat.n_triangles, flat.n_lights,
         cfg.max_depth, cfg.bias, cfg.min_weight, cfg.shadow_mode,

@@ -152,3 +152,44 @@ def test_dense_mesh_grad_falls_back_to_xla():
         if not np.issubdtype(a.dtype, np.floating):
             continue
         np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-4)
+
+
+def test_aabb_culling_all_blocks_missed():
+    # A camera looking AWAY from the mesh: every triangle block is culled,
+    # and the kernel must still produce the exact sky/plane-only image.
+    from raytracingengine_tpu.scenes.builders import dense_mesh_scene
+    from raytracingengine_tpu.core.camera import Camera
+
+    scene, _ = dense_mesh_scene(width=8, height=8, spp=1, ni=16, nj=36)
+    # Aim at empty space: camera far beyond the mesh looking further away.
+    camera2 = Camera.create(
+        (0, 0, 200), focal=8.0, width=8, height=8, near=0.0, far=100.0, spp=1
+    )
+    flat = flatten_scene(scene)
+    o, d = camera2.rays_for_pixels(*camera2.pixel_grid())
+    ref = integrate_chain(flat, o, d, CFG)
+    out = ct.chain_trace_pallas(flat, o, d, CFG)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+
+def test_pack_tri_aabbs_shapes_and_padding():
+    from raytracingengine_tpu.scenes.builders import dense_mesh_scene, head_box_scene
+
+    # Small mesh: one block.
+    scene, _ = head_box_scene(width=8, height=8, spp=1)
+    flat = flatten_scene(scene)
+    aabb = ct.pack_tri_aabbs(flat)
+    assert aabb.shape == (6, -(-flat.n_triangles // ct.TRI_BLOCK))
+    lo, hi = np.asarray(aabb[:3]).T, np.asarray(aabb[3:]).T
+    assert (lo <= hi).all()
+    # The cube at (0,0,10) size 4: bounds within [-2,2]x[-2,2]x[8,12] (+eps)
+    assert lo.min() > -2.1 and hi.max() < 12.1
+
+    # Padded scene: all-padding blocks become far point boxes, not
+    # hit-everything boxes.
+    scene_p, _ = head_box_scene(width=8, height=8, spp=1, pad_multiple=1024)
+    flat_p = flatten_scene(scene_p)
+    aabb_p = np.asarray(ct.pack_tri_aabbs(flat_p))
+    assert aabb_p.shape == (6, 4)  # 1024 padded tris / 256
+    # blocks 1..3 are all-padding -> far point boxes
+    assert (aabb_p[:, 1:] > 1e37).all()
