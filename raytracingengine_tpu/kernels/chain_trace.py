@@ -248,8 +248,11 @@ def _closest_hit(
         n_blocks = -(-nt // TRI_BLOCK)
 
         def blk_body(b, carry):
+            # Segment bound = each lane's current best t: blocks entirely
+            # behind an already-found hit are skipped (strict-< updates
+            # mean a farther hit could never win anyway).
             any_hit_blk = _block_hits_tile(
-                taabb, b, ox, oy, oz, dx, dy, dz, want, _INF
+                taabb, b, ox, oy, oz, dx, dy, dz, want, carry[0]
             )
             lo_i = b * TRI_BLOCK
             hi_i = jnp.minimum(lo_i + TRI_BLOCK, nt)

@@ -67,16 +67,20 @@ from raytracingengine_tpu.kernels.chain_trace import (
 
 
 def _tri_scan_blocked(tri_body, nt, taabb, interest, t_hi,
-                      ox, oy, oz, dx, dy, dz, carry):
+                      ox, oy, oz, dx, dy, dz, carry,
+                      t_hi_from_carry0=False):
     """Run `tri_body` over triangles, skipping AABB-culled blocks (same
-    conservative whole-tile test as chain_trace)."""
+    conservative whole-tile test as chain_trace). With
+    `t_hi_from_carry0`, each lane's segment bound is its current best t
+    (carry row 0) — blocks entirely behind a found hit are skipped."""
     if taabb is None or nt <= TRI_BLOCK:
         return jax.lax.fori_loop(0, nt, tri_body, carry)
     n_blocks = -(-nt // TRI_BLOCK)
 
     def blk_body(b, carry):
+        bound = carry[0] if t_hi_from_carry0 else t_hi
         any_hit_blk = _block_hits_tile(
-            taabb, b, ox, oy, oz, dx, dy, dz, interest, t_hi
+            taabb, b, ox, oy, oz, dx, dy, dz, interest, bound
         )
         lo_i = b * TRI_BLOCK
         hi_i = jnp.minimum(lo_i + TRI_BLOCK, nt)
@@ -179,7 +183,8 @@ def _closest_hit_full(sph, pl_, tri, mat, ns, np_, nt, ox, oy, oz, dx, dy, dz,
     carry = jax.lax.fori_loop(0, np_, plane_body, carry)
     want = interest if interest is not None else jnp.ones(shape) > 0.0
     carry = _tri_scan_blocked(
-        tri_body, nt, taabb, want, _INF, ox, oy, oz, dx, dy, dz, carry
+        tri_body, nt, taabb, want, _INF, ox, oy, oz, dx, dy, dz, carry,
+        t_hi_from_carry0=True,
     )
     return tuple(carry[i] for i in range(11))
 
@@ -247,7 +252,8 @@ def _nearest_t_tau(sph, pl_, tri, mat, ns, np_, nt, ox, oy, oz, dx, dy, dz,
     carry = jax.lax.fori_loop(0, np_, plane_body, carry)
     want = interest if interest is not None else jnp.ones(shape) > 0.0
     carry = _tri_scan_blocked(
-        tri_body, nt, taabb, want, _INF, ox, oy, oz, dx, dy, dz, carry
+        tri_body, nt, taabb, want, _INF, ox, oy, oz, dx, dy, dz, carry,
+        t_hi_from_carry0=True,
     )
     return carry[0], carry[1]
 
