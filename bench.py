@@ -184,6 +184,16 @@ def main() -> None:
     log(f"dense mesh: {dt*1e3:.1f} ms/frame -> "
         f"{detail['dense_mesh_512_mrays_s']} Mrays/s (brute force, 6017 prims)")
 
+    # ---- dense mesh, worst-case authoring order (hash-order OBJ) ----
+    # Same geometry, triangle list randomly shuffled: block culling is
+    # useless in authoring order, so throughput here measures the
+    # adaptive spatial reorder (pack_forward_tables) doing its job.
+    ss2, _ = dense_mesh_scene(width=512, height=512, spp=1, scramble=7)
+    dt = timed(lambda: dfwd(ss2), label="dense mesh scrambled order")
+    detail["dense_mesh_scrambled_mrays_s"] = round(512 * 512 / dt / 1e6, 2)
+    log(f"dense mesh (scrambled OBJ order): {dt*1e3:.1f} ms/frame -> "
+        f"{detail['dense_mesh_scrambled_mrays_s']} Mrays/s")
+
     # ---- distribution composition: mesh-of-1 shard_map + kernels ----
     try:
         from raytracingengine_tpu.parallel.mesh import make_mesh

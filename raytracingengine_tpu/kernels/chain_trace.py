@@ -17,10 +17,17 @@ first-wins updates, vectorized 1024 rays at a time.
 
 Scope: opaque scenes (the chain integrator's domain), binary shadow
 visibility (== the reference march on opaque scenes, render/config.py),
-scenes up to a few hundred primitives (SMEM-resident). Larger scenes and
-transparency fall back to the XLA path. Forward only — the differentiable
-path stays on XLA; `chain_trace` wires a custom_vjp whose backward is the
-autodiff of the XLA integrator, so `jax.grad` through it still works.
+scenes up to MAX_PRIMS = 8192 SMEM-resident primitives. Above TRI_BLOCK
+triangles the scan turns hierarchical: triangles are reordered into
+spatially compact blocks (pack_forward_tables picks the tightest of
+authoring / Morton / kd median-split order by summed block surface
+area), one conservative AABB per block is tested against the whole ray
+tile, and blocks no live lane's segment can touch are skipped — result-
+identical, with equal-t ties still resolved in authoring order via a
+carried original-index row. Larger scenes and transparency fall back to
+the XLA path. Forward only — the differentiable path stays on XLA;
+`chain_trace` wires a custom_vjp whose backward is the autodiff of the
+XLA integrator, so `jax.grad` through it still works.
 
 Parity notes (all mirrored from the reference):
   sphere quadratic with a = d.d and eps=1e-6 preferring the near root
@@ -35,6 +42,7 @@ Parity notes (all mirrored from the reference):
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -54,13 +62,16 @@ _INF = 3.0e38
 TRI_BLOCK = 256
 
 
-def pack_tri_aabbs(flat: FlatScene, block: int = TRI_BLOCK):
+def pack_tri_aabbs(flat: FlatScene, block: int = TRI_BLOCK, perm=None):
     """Per-block triangle AABBs -> [6, n_blocks] (lo.xyz, hi.xyz).
 
     Inactive/padded triangles contribute nothing (+inf lo / -inf hi), so
     an all-padding block can never pass the slab test. Boxes are inflated
     by a relative epsilon so fp32 slab-test roundoff can't exclude a
-    boundary-grazing hit the exact scan would find."""
+    boundary-grazing hit the exact scan would find. `perm` (from
+    triangle_morton_perm) reorders triangles before blocking so boxes
+    bound *spatially adjacent* triangles — it must match the order of the
+    tri table handed to the kernel (see sort_tables)."""
     dt = jnp.float32
     nt = flat.n_triangles
     if nt == 0:
@@ -69,6 +80,8 @@ def pack_tri_aabbs(flat: FlatScene, block: int = TRI_BLOCK):
     v1 = flat.tri_v0 + flat.tri_e1
     v2 = flat.tri_v0 + flat.tri_e2
     act = flat.tri_active[:, None]
+    if perm is not None:
+        v0, v1, v2, act = v0[perm], v1[perm], v2[perm], act[perm]
     big = jnp.asarray(_INF, dt)
     los = jnp.where(act, jnp.minimum(jnp.minimum(v0, v1), v2), big)
     his = jnp.where(act, jnp.maximum(jnp.maximum(v0, v1), v2), -big)
@@ -91,6 +104,146 @@ def pack_tri_aabbs(flat: FlatScene, block: int = TRI_BLOCK):
     lo = jnp.where(empty, far, lo)
     hi = jnp.where(empty, far, hi)
     return jnp.concatenate([lo.T, hi.T], axis=0).astype(dt)  # [6, n_blocks]
+
+
+def _part1by2(x):
+    """Spread the low 10 bits of int32 x so bits land 3 apart (Morton)."""
+    x = x & 0x3FF
+    x = (x | (x << 16)) & 0x030000FF
+    x = (x | (x << 8)) & 0x0300F00F
+    x = (x | (x << 4)) & 0x030C30C3
+    x = (x | (x << 2)) & 0x09249249
+    return x
+
+
+def triangle_morton_perm(flat: FlatScene) -> jnp.ndarray:
+    """Morton (Z-order) permutation of triangle indices by centroid.
+
+    The kernels cull whole TRI_BLOCK-sized blocks with one AABB per block
+    (pack_tri_aabbs); in authoring order a block's triangles can span the
+    entire model (e.g. a ring-major procedural mesh puts a full 360° band
+    in every block) and the boxes cull nothing. Sorting by 30-bit Morton
+    code of the quantized centroid makes blocks spatially compact, so
+    most blocks miss most ray tiles. Inactive/padded triangles sort last
+    (keeps padded blocks degenerate). Stable sort: equal cells keep
+    authoring order. Fully traced — works under jit with FlatScene leaves
+    as tracers."""
+    c = flat.tri_v0 + (flat.tri_e1 + flat.tri_e2) / 3.0  # [nt, 3]
+    act = flat.tri_active
+    big = jnp.asarray(_INF, jnp.float32)
+    lo = jnp.min(jnp.where(act[:, None], c, big), axis=0)
+    hi = jnp.max(jnp.where(act[:, None], c, -big), axis=0)
+    span = jnp.maximum(hi - lo, 1e-20)
+    q = jnp.clip((c - lo) / span * 1023.0, 0.0, 1023.0).astype(jnp.int32)
+    code = (
+        _part1by2(q[:, 0])
+        | (_part1by2(q[:, 1]) << 1)
+        | (_part1by2(q[:, 2]) << 2)
+    )
+    key = jnp.where(act, code, jnp.int32(0x40000000))
+    return jnp.argsort(key, stable=True)
+
+
+def triangle_split_perm(flat: FlatScene) -> jnp.ndarray:
+    """Recursive largest-axis median-split ordering of triangles.
+
+    A kd-treelet build flattened to its in-order leaf sequence: at each
+    level every group picks its widest centroid axis and splits at the
+    median, so consecutive runs of triangles are compact spatial patches
+    (tighter than a Z-curve, which jumps across octant boundaries on
+    surface meshes). Fixed depth = ceil(log2(n_blocks)) + 1 levels, all
+    static — the body is argsorts and segment reductions, traceable under
+    jit. Inactive/padded triangles sort to the end."""
+    nt = flat.n_triangles
+    c = flat.tri_v0 + (flat.tri_e1 + flat.tri_e2) / 3.0  # [nt, 3]
+    act = flat.tri_active
+    n_blocks = -(-nt // TRI_BLOCK)
+    levels = max(1, int(math.ceil(math.log2(max(n_blocks, 1)))) + 1)
+    big = jnp.asarray(3.0e38, jnp.float32)
+    order = jnp.arange(nt)
+    g = jnp.zeros(nt, jnp.int32)
+    ones = jnp.ones(nt, jnp.int32)
+    for lvl in range(levels):
+        ng = 1 << lvl
+        cm = jnp.where(act[:, None], c, big)
+        cM = jnp.where(act[:, None], c, -big)
+        lo = jax.ops.segment_min(cm, g, num_segments=ng)
+        hi = jax.ops.segment_max(cM, g, num_segments=ng)
+        ext = jnp.where(hi >= lo, hi - lo, 0.0)
+        axis = jnp.argmax(ext, axis=1)  # widest axis per group
+        v = jnp.take_along_axis(c, axis[g][:, None], axis=1)[:, 0]
+        v = jnp.where(act, v, big)
+        ordv = jnp.argsort(v, stable=True)
+        order = ordv[jnp.argsort(g[ordv], stable=True)]  # by (group, v)
+        gs = g[order]
+        counts = jax.ops.segment_sum(ones, g, num_segments=ng)
+        starts = jnp.cumsum(counts) - counts
+        rank = jnp.arange(nt) - starts[gs]
+        child = (rank >= (counts[gs] + 1) // 2).astype(jnp.int32)
+        g = jnp.zeros(nt, jnp.int32).at[order].set(gs * 2 + child)
+    inactive_last = (1 - act[order].astype(jnp.int32))
+    return order[jnp.argsort(inactive_last, stable=True)]
+
+
+def _block_sa_sum(taabb) -> jnp.ndarray:
+    """Summed surface area of the per-block boxes (SAH-style cost proxy:
+    a block's chance of intersecting a random ray ~ its surface area).
+    Empty far-point blocks have zero extent and contribute nothing."""
+    e = jnp.maximum(taabb[3:] - taabb[:3], 0.0)  # [3, n_blocks]
+    return jnp.sum(
+        2.0 * (e[0] * e[1] + e[1] * e[2] + e[0] * e[2])
+    )
+
+
+def pack_forward_tables(flat: FlatScene):
+    """SMEM tables for the forward kernels -> (sph, pl, tri13, taabb, mat, light).
+
+    When block culling is active (n_triangles > TRI_BLOCK) the triangles
+    are reordered by whichever candidate ordering — authoring order,
+    Morton/Z-order (triangle_morton_perm), or kd median-split
+    (triangle_split_perm) — yields the smallest summed block surface
+    area, so each TRI_BLOCK's AABB bounds a compact spatial patch even
+    for arbitrarily-ordered OBJ meshes, while already-coherent meshes
+    keep their authored order. The selection is traced (works under jit
+    with scene leaves as tracers) and costs O(n log n) scene-sized ops —
+    noise next to the ray workload.
+
+    The tri table gains row 12 = ORIGINAL global primitive index as
+    float32. Kernels use that row for the material lookup and to
+    reproduce the reference's first-wins tie-break in *authoring* order
+    (Scene.h:218-257) exactly, independent of scan order — so reordering
+    is bit-result-identical."""
+    sph, pl_, tri, mat, light = pack_scene_tables(flat)
+    nt = flat.n_triangles
+    if nt == 0:
+        tri13 = jnp.concatenate(
+            [tri, jnp.zeros((1, tri.shape[1]), jnp.float32)], axis=0
+        )
+        return sph, pl_, tri13, pack_tri_aabbs(flat), mat, light
+    base = flat.n_spheres + flat.n_planes
+    gi = (base + jnp.arange(nt)).astype(jnp.float32)
+    if nt > TRI_BLOCK:
+        cands = jnp.stack(
+            [
+                jnp.arange(nt),
+                triangle_morton_perm(flat),
+                triangle_split_perm(flat),
+            ]
+        )  # [3, nt]
+        aabbs = jnp.stack(
+            [pack_tri_aabbs(flat, perm=cands[i]) for i in range(3)]
+        )  # [3, 6, n_blocks]
+        best = jnp.argmin(
+            jnp.stack([_block_sa_sum(aabbs[i]) for i in range(3)])
+        )
+        perm = cands[best]
+        taabb = aabbs[best]
+        tri = tri[:, perm]
+        gi = gi[perm]
+    else:
+        taabb = pack_tri_aabbs(flat)
+    tri13 = jnp.concatenate([tri, gi[None, :]], axis=0)
+    return sph, pl_, tri13, taabb, mat, light
 
 
 def _block_hits_tile(aabb, b, ox, oy, oz, dx, dy, dz, interest, t_hi):
@@ -139,44 +292,61 @@ def _closest_hit(
     """Linear scan over SMEM primitive tables -> best-hit state.
 
     Returns (t, nx, ny, nz, ar, ag, ab, spec, shin); t >= _INF means miss.
-    Strict < updates reproduce the reference's first-wins tie-break in
-    family order (spheres, planes, triangles). With `taabb` (per-block
-    triangle AABBs, pack_tri_aabbs) the triangle scan skips whole blocks
-    no `interest` lane's ray can touch — result-identical, since skipped
+    `tri` is the 13-row table from pack_forward_tables: row 12 holds each
+    triangle's ORIGINAL global index, so the scan can run in Morton order
+    while ties (t_new == t, mesh seam hits) still resolve to the lowest
+    authoring-order primitive — exactly the reference's first-wins
+    strict-< scan (Scene.h:218-257). With `taabb` (per-block triangle
+    AABBs, pack_tri_aabbs) the triangle scan skips whole blocks no
+    `interest` lane's ray can touch — result-identical, since skipped
     blocks contain no hits for any lane whose output is used.
     """
     shape = ox.shape
-    # Single packed carry [9, SUB, LANE]: (t, nx, ny, nz, ar, ag, ab, sp, sh).
+    # Static: spatial reorder (pack_forward_tables) only fires above
+    # TRI_BLOCK, so smaller scenes skip the best-index carry row and its
+    # tie compare entirely — zero cost vs the plain strict-< scan.
+    tie_gi = nt > TRI_BLOCK
+    # Single packed carry [9 or 10, SUB, LANE]:
+    # (t, nx, ny, nz, ar, ag, ab, sp, sh[, best_gi]).
     # All fields update through ONE jnp.where: if the predicate chain were
     # consumed by several selects, XLA may duplicate it per consumer with
     # different FMA contraction, and an exact edge hit (u or v == 0) can
     # then update t but not the attributes — observed in practice. A single
     # select makes the decision atomic.
-    carry = jnp.concatenate(
-        [jnp.full((1,) + shape, _INF), jnp.zeros((8,) + shape)], axis=0
-    )
+    rows = [jnp.full((1,) + shape, _INF), jnp.zeros((8,) + shape)]
+    if tie_gi:
+        rows.append(jnp.full((1,) + shape, _INF))  # best original index
+    carry = jnp.concatenate(rows, axis=0)
 
     a_coef = dx * dx + dy * dy + dz * dz  # d.d (Shape.h:75)
 
-    def upd(carry, t_new, hit, n3, gi):
+    def upd(carry, t_new, hit, n3, gi, gi_f):
         t = carry[0]
-        closer = hit & (t_new < t)
+        if tie_gi:
+            # Equal-t ties go to the lower ORIGINAL index: with in-order
+            # scans this is identical to strict <; under spatial reorder
+            # it restores authoring-order first-wins.
+            closer = hit & (
+                (t_new < t) | ((t_new == t) & (gi_f < carry[9]))
+            )
+        else:
+            closer = hit & (t_new < t)
         nxn, nyn, nzn = n3
         one = jnp.ones(shape)
-        new = jnp.stack(
-            [
-                t_new,
-                nxn,
-                nyn,
-                nzn,
-                mat[0, gi] * one,
-                mat[1, gi] * one,
-                mat[2, gi] * one,
-                mat[3, gi] * one,
-                mat[4, gi] * one,
-            ]
-        )
-        return jnp.where(closer[None], new, carry)
+        fields = [
+            t_new,
+            nxn,
+            nyn,
+            nzn,
+            mat[0, gi] * one,
+            mat[1, gi] * one,
+            mat[2, gi] * one,
+            mat[3, gi] * one,
+            mat[4, gi] * one,
+        ]
+        if tie_gi:
+            fields.append(gi_f * one)
+        return jnp.where(closer[None], jnp.stack(fields), carry)
 
     def sphere_body(i, carry):
         cx, cy, cz, r2 = sph[0, i], sph[1, i], sph[2, i], sph[3, i]
@@ -197,7 +367,10 @@ def _closest_hit(
         gx, gy, gz = px - cx, py - cy, pz - cz
         g2 = gx * gx + gy * gy + gz * gz
         inv = jax.lax.rsqrt(jnp.maximum(g2, 1e-24))
-        return upd(carry, t_new, hit, (gx * inv, gy * inv, gz * inv), i)
+        return upd(
+            carry, t_new, hit, (gx * inv, gy * inv, gz * inv), i,
+            i.astype(jnp.float32),
+        )
 
     def plane_body(i, carry):
         nx_, ny_, nz_, pn = pl_[0, i], pl_[1, i], pl_[2, i], pl_[3, i]
@@ -207,7 +380,10 @@ def _closest_hit(
         t_new = (pn - on) / jnp.where(ok, denom, 1.0)
         hit = ok & (t_new >= 0.0)
         one = jnp.ones_like(ox)
-        return upd(carry, t_new, hit, (nx_ * one, ny_ * one, nz_ * one), ns + i)
+        return upd(
+            carry, t_new, hit, (nx_ * one, ny_ * one, nz_ * one), ns + i,
+            (ns + i).astype(jnp.float32),
+        )
 
     def tri_body(i, carry):
         v0x, v0y, v0z = tri[0, i], tri[1, i], tri[2, i]
@@ -237,8 +413,14 @@ def _closest_hit(
             & (t_new > EPS)
         )
         one = jnp.ones_like(ox)
+        if tie_gi:  # original global index (pack_forward_tables row 12)
+            gi_f = tri[12, i]
+            gi = gi_f.astype(jnp.int32)
+        else:  # no reorder possible: scan position IS the global index
+            gi_f = jnp.float32(0.0)
+            gi = ns + np_ + i
         return upd(
-            carry, t_new, hit, (nux * one, nuy * one, nuz * one), ns + np_ + i
+            carry, t_new, hit, (nux * one, nuy * one, nuz * one), gi, gi_f
         )
 
     carry = jax.lax.fori_loop(0, ns, sphere_body, carry)
@@ -641,8 +823,7 @@ def chain_trace_pallas(
     # whole-tile early-exit depth loop (ADVICE r01).
     live = shape_ray(jnp.ones((r,), jnp.float32))
 
-    sph, pl_, tri, mat, light = pack_scene_tables(flat)
-    taabb = pack_tri_aabbs(flat)
+    sph, pl_, tri, taabb, mat, light = pack_forward_tables(flat)
     kernel = _make_kernel(
         flat.n_spheres, flat.n_planes, flat.n_triangles, flat.n_lights,
         cfg.max_depth, cfg.bias, cfg.min_weight,

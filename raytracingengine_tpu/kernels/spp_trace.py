@@ -39,7 +39,7 @@ from raytracingengine_tpu.kernels.chain_trace import (
     SUB,
     TILE,
     _trace_tile,
-    pack_scene_tables,
+    pack_forward_tables,
 )
 
 
@@ -137,10 +137,7 @@ def spp_trace_pallas(flat: FlatScene, camera, cfg, px, py, seed: int = 0):
         ]
     )
 
-    sph_t, pl_t, tri_t, mat_t, light_t = pack_scene_tables(flat)
-    from raytracingengine_tpu.kernels.chain_trace import pack_tri_aabbs
-
-    tables = (sph_t, pl_t, tri_t, pack_tri_aabbs(flat), mat_t, light_t)
+    tables = pack_forward_tables(flat)
     kernel = _make_spp_kernel(
         flat.n_spheres, flat.n_planes, flat.n_triangles, flat.n_lights,
         cfg.max_depth, cfg.bias, camera.spp, cfg.min_weight,

@@ -61,8 +61,7 @@ from raytracingengine_tpu.kernels.chain_trace import (
     _any_hit,
     _block_hits_tile,
     _sky,
-    pack_scene_tables,
-    pack_tri_aabbs,
+    pack_forward_tables,
 )
 
 
@@ -99,27 +98,38 @@ def _closest_hit_full(sph, pl_, tri, mat, ns, np_, nt, ox, oy, oz, dx, dy, dz,
     """Linear scan -> (t, nx, ny, nz, ar, ag, ab, spec, shin, tau, eta).
 
     Same predicates/tie-breaks as chain_trace._closest_hit, with the two
-    extra material fields the transparent branch needs."""
+    extra material fields the transparent branch needs. `tri` is the
+    13-row table from pack_forward_tables: row 12 = original global
+    index, used for material lookup and authoring-order tie-breaks under
+    the spatial triangle reorder (only possible when nt > TRI_BLOCK —
+    smaller scenes statically skip the index carry and tie compare)."""
     shape = ox.shape
-    carry = jnp.concatenate(
-        [jnp.full((1,) + shape, _INF), jnp.zeros((10,) + shape)], axis=0
-    )
+    tie_gi = nt > TRI_BLOCK
+    rows = [jnp.full((1,) + shape, _INF), jnp.zeros((10,) + shape)]
+    if tie_gi:
+        rows.append(jnp.full((1,) + shape, _INF))  # best original index
+    carry = jnp.concatenate(rows, axis=0)
     a_coef = dx * dx + dy * dy + dz * dz
 
-    def upd(carry, t_new, hit, n3, gi):
+    def upd(carry, t_new, hit, n3, gi, gi_f):
         t = carry[0]
-        closer = hit & (t_new < t)
+        if tie_gi:
+            closer = hit & (
+                (t_new < t) | ((t_new == t) & (gi_f < carry[11]))
+            )
+        else:
+            closer = hit & (t_new < t)
         nxn, nyn, nzn = n3
         one = jnp.ones(shape)
-        new = jnp.stack(
-            [
-                t_new, nxn, nyn, nzn,
-                mat[0, gi] * one, mat[1, gi] * one, mat[2, gi] * one,
-                mat[3, gi] * one, mat[4, gi] * one, mat[5, gi] * one,
-                mat[6, gi] * one,
-            ]
-        )
-        return jnp.where(closer[None], new, carry)
+        fields = [
+            t_new, nxn, nyn, nzn,
+            mat[0, gi] * one, mat[1, gi] * one, mat[2, gi] * one,
+            mat[3, gi] * one, mat[4, gi] * one, mat[5, gi] * one,
+            mat[6, gi] * one,
+        ]
+        if tie_gi:
+            fields.append(gi_f * one)
+        return jnp.where(closer[None], jnp.stack(fields), carry)
 
     def sphere_body(i, carry):
         cx, cy, cz, r2 = sph[0, i], sph[1, i], sph[2, i], sph[3, i]
@@ -140,7 +150,10 @@ def _closest_hit_full(sph, pl_, tri, mat, ns, np_, nt, ox, oy, oz, dx, dy, dz,
         gx, gy, gz = px - cx, py - cy, pz - cz
         g2 = gx * gx + gy * gy + gz * gz
         inv = jax.lax.rsqrt(jnp.maximum(g2, 1e-24))
-        return upd(carry, t_new, hit, (gx * inv, gy * inv, gz * inv), i)
+        return upd(
+            carry, t_new, hit, (gx * inv, gy * inv, gz * inv), i,
+            i.astype(jnp.float32),
+        )
 
     def plane_body(i, carry):
         nx_, ny_, nz_, pn = pl_[0, i], pl_[1, i], pl_[2, i], pl_[3, i]
@@ -150,7 +163,10 @@ def _closest_hit_full(sph, pl_, tri, mat, ns, np_, nt, ox, oy, oz, dx, dy, dz,
         t_new = (pn - on) / jnp.where(ok, denom, 1.0)
         hit = ok & (t_new >= 0.0)
         one = jnp.ones_like(ox)
-        return upd(carry, t_new, hit, (nx_ * one, ny_ * one, nz_ * one), ns + i)
+        return upd(
+            carry, t_new, hit, (nx_ * one, ny_ * one, nz_ * one), ns + i,
+            (ns + i).astype(jnp.float32),
+        )
 
     def tri_body(i, carry):
         v0x, v0y, v0z = tri[0, i], tri[1, i], tri[2, i]
@@ -175,8 +191,14 @@ def _closest_hit_full(sph, pl_, tri, mat, ns, np_, nt, ox, oy, oz, dx, dy, dz,
             & (t_new > EPS)
         )
         one = jnp.ones_like(ox)
+        if tie_gi:  # original global index (pack_forward_tables row 12)
+            gi_f = tri[12, i]
+            gi = gi_f.astype(jnp.int32)
+        else:
+            gi_f = jnp.float32(0.0)
+            gi = ns + np_ + i
         return upd(
-            carry, t_new, hit, (nux * one, nuy * one, nuz * one), ns + np_ + i
+            carry, t_new, hit, (nux * one, nuy * one, nuz * one), gi, gi_f
         )
 
     carry = jax.lax.fori_loop(0, ns, sphere_body, carry)
@@ -193,15 +215,26 @@ def _nearest_t_tau(sph, pl_, tri, mat, ns, np_, nt, ox, oy, oz, dx, dy, dz,
                    taabb=None, interest=None):
     """Reduced scan for the shadow march: (t, transparency) only."""
     shape = ox.shape
-    carry = jnp.concatenate(
-        [jnp.full((1,) + shape, _INF), jnp.zeros((1,) + shape)], axis=0
-    )
+    tie_gi = nt > TRI_BLOCK
+    rows = [jnp.full((1,) + shape, _INF), jnp.zeros((1,) + shape)]
+    if tie_gi:
+        rows.append(jnp.full((1,) + shape, _INF))  # best original index
+    carry = jnp.concatenate(rows, axis=0)
     a_coef = dx * dx + dy * dy + dz * dz
 
-    def upd(carry, t_new, hit, gi):
-        closer = hit & (t_new < carry[0])
-        new = jnp.stack([t_new, mat[5, gi] * jnp.ones(shape)])
-        return jnp.where(closer[None], new, carry)
+    def upd(carry, t_new, hit, gi, gi_f):
+        t = carry[0]
+        if tie_gi:
+            closer = hit & (
+                (t_new < t) | ((t_new == t) & (gi_f < carry[2]))
+            )
+        else:
+            closer = hit & (t_new < t)
+        one = jnp.ones(shape)
+        fields = [t_new, mat[5, gi] * one]
+        if tie_gi:
+            fields.append(gi_f * one)
+        return jnp.where(closer[None], jnp.stack(fields), carry)
 
     def sphere_body(i, carry):
         cx, cy, cz, r2 = sph[0, i], sph[1, i], sph[2, i], sph[3, i]
@@ -215,7 +248,9 @@ def _nearest_t_tau(sph, pl_, tri, mat, ns, np_, nt, ox, oy, oz, dx, dy, dz,
         tt0 = (-b - sq) * inv2a
         tt1 = (-b + sq) * inv2a
         t_new = jnp.where(tt0 >= EPS, tt0, tt1)
-        return upd(carry, t_new, ok & (t_new >= EPS), i)
+        return upd(
+            carry, t_new, ok & (t_new >= EPS), i, i.astype(jnp.float32)
+        )
 
     def plane_body(i, carry):
         nx_, ny_, nz_, pn = pl_[0, i], pl_[1, i], pl_[2, i], pl_[3, i]
@@ -223,7 +258,10 @@ def _nearest_t_tau(sph, pl_, tri, mat, ns, np_, nt, ox, oy, oz, dx, dy, dz,
         ok = jnp.abs(denom) > EPS
         on = ox * nx_ + oy * ny_ + oz * nz_
         t_new = (pn - on) / jnp.where(ok, denom, 1.0)
-        return upd(carry, t_new, ok & (t_new >= 0.0), ns + i)
+        return upd(
+            carry, t_new, ok & (t_new >= 0.0), ns + i,
+            (ns + i).astype(jnp.float32),
+        )
 
     def tri_body(i, carry):
         v0x, v0y, v0z = tri[0, i], tri[1, i], tri[2, i]
@@ -246,7 +284,13 @@ def _nearest_t_tau(sph, pl_, tri, mat, ns, np_, nt, ox, oy, oz, dx, dy, dz,
             ok & (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (u + v <= 1.0)
             & (t_new > EPS)
         )
-        return upd(carry, t_new, hit, ns + np_ + i)
+        if tie_gi:  # original global index (pack_forward_tables row 12)
+            gi_f = tri[12, i]
+            gi = gi_f.astype(jnp.int32)
+        else:
+            gi_f = jnp.float32(0.0)
+            gi = ns + np_ + i
+        return upd(carry, t_new, hit, gi, gi_f)
 
     carry = jax.lax.fori_loop(0, ns, sphere_body, carry)
     carry = jax.lax.fori_loop(0, np_, plane_body, carry)
@@ -554,8 +598,7 @@ def wavefront_trace_pallas(
     dz = shape_ray(d[:, 2], fill=1.0)
     live = shape_ray(jnp.ones((r,), jnp.float32))
 
-    sph_t, pl_t, tri_t, mat_t, light_t = pack_scene_tables(flat)
-    tables = (sph_t, pl_t, tri_t, pack_tri_aabbs(flat), mat_t, light_t)
+    tables = pack_forward_tables(flat)
     kernel, cap = _make_wavefront_kernel(
         flat.n_spheres, flat.n_planes, flat.n_triangles, flat.n_lights,
         cfg.max_depth, cfg.bias, cfg.min_weight, cfg.shadow_mode,

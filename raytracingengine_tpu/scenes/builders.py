@@ -173,6 +173,7 @@ def dense_mesh_scene(
     ni: int = 48,
     nj: int = 64,
     dtype=jnp.float32,
+    scramble: int | None = None,
 ) -> tuple[Scene, Camera]:
     """Dense-mesh stress scene: a 6,016-triangle bumpy sphere (for the
     default ni/nj) over a floor plane with two lights.
@@ -181,6 +182,13 @@ def dense_mesh_scene(
     (/root/reference/RaytracingEngine/Shape.h:269-300) far past the old
     512-primitive kernel ceiling; refbuild/parity_main.cpp renders the
     identical scene with the real C++ engine for the parity dump.
+
+    `scramble` (a seed) randomly shuffles the triangle index list —
+    identical geometry in worst-case authoring order, the shape of a
+    real-world OBJ whose faces were emitted in hash/vertex-cache order.
+    The renders match the unscrambled scene except at exact seam ties
+    (first-wins order changes); the kernels' adaptive spatial reorder
+    (kernels/chain_trace.pack_forward_tables) must rescue block culling.
     """
     from raytracingengine_tpu.scenes.assets import bumpy_sphere_mesh
 
@@ -190,6 +198,10 @@ def dense_mesh_scene(
         transparency=0.0, refractive_index=1.0,
     )
     verts, idx = bumpy_sphere_mesh(radius=2.0, ni=ni, nj=nj, amp=0.15)
+    if scramble is not None:
+        rng = np.random.default_rng(scramble)
+        tris = np.asarray(idx).reshape(-1, 3)
+        idx = tris[rng.permutation(len(tris))].reshape(-1)
     # x-offset breaks the exact alignment of the camera's central
     # pixel column with the mesh symmetry plane (which otherwise
     # makes a whole column of exact closest-hit ties that fp32 and

@@ -193,3 +193,110 @@ def test_pack_tri_aabbs_shapes_and_padding():
     assert aabb_p.shape == (6, 4)  # 1024 padded tris / 256
     # blocks 1..3 are all-padding -> far point boxes
     assert (aabb_p[:, 1:] > 1e37).all()
+
+def test_reorder_perms_valid_and_adaptive_choice_never_worse():
+    # Both spatial orderings must be true permutations, and the adaptive
+    # choice in pack_forward_tables (min summed block surface area over
+    # authoring / Morton / median-split) must never produce looser blocks
+    # than authoring order.
+    from raytracingengine_tpu.scenes.builders import dense_mesh_scene
+
+    scene, _ = dense_mesh_scene(width=8, height=8, spp=1, ni=16, nj=36)
+    flat = flatten_scene(scene)
+    nt = flat.n_triangles
+    for fn in (ct.triangle_morton_perm, ct.triangle_split_perm):
+        perm = np.asarray(fn(flat))
+        assert sorted(perm.tolist()) == list(range(nt)), fn.__name__
+
+    sa_auth = float(ct._block_sa_sum(ct.pack_tri_aabbs(flat)))
+    _, _, _, taabb, _, _ = ct.pack_forward_tables(flat)
+    assert float(ct._block_sa_sum(taabb)) <= sa_auth * (1 + 1e-6)
+
+
+def test_scrambled_mesh_reorder_restores_compact_blocks():
+    # A mesh whose authoring order was destroyed (random shuffle — the
+    # worst case for real OBJ files) must be rescued by the spatial
+    # reorder: the chosen blocks must be far tighter than scrambled
+    # authoring order. (Result parity under reorder is covered by the
+    # dense-mesh parity tests + the tie-break unit test below.)
+    import dataclasses
+
+    from raytracingengine_tpu.scenes.builders import dense_mesh_scene
+
+    scene, camera = dense_mesh_scene(width=8, height=8, spp=1, ni=16, nj=36)
+    flat = flatten_scene(scene)
+    rng = np.random.default_rng(7)
+    shuf = rng.permutation(flat.n_triangles)
+    flat_s = dataclasses.replace(
+        flat,
+        tri_v0=flat.tri_v0[shuf],
+        tri_e1=flat.tri_e1[shuf],
+        tri_e2=flat.tri_e2[shuf],
+        tri_nunit=flat.tri_nunit[shuf],
+        tri_active=flat.tri_active[shuf],
+    )
+    sa_scrambled = float(ct._block_sa_sum(ct.pack_tri_aabbs(flat_s)))
+    _, _, _, taabb, _, _ = ct.pack_forward_tables(flat_s)
+    sa_chosen = float(ct._block_sa_sum(taabb))
+    assert sa_chosen < 0.5 * sa_scrambled, (sa_chosen, sa_scrambled)
+
+
+def test_scrambled_dense_mesh_kernel_parity():
+    # End-to-end: a dense mesh in worst-case (shuffled) authoring order
+    # renders through the fused kernel — spatial reorder + culling +
+    # original-index tie-breaks — and must match the XLA integrator,
+    # which scans the scrambled table in plain authoring order.
+    from raytracingengine_tpu.scenes.builders import dense_mesh_scene
+
+    scene, camera = dense_mesh_scene(
+        width=8, height=8, spp=1, ni=16, nj=36, scramble=3
+    )
+    _parity(scene, camera)
+
+
+def test_morton_perm_puts_inactive_triangles_last():
+    scene, _ = head_box_scene(width=8, height=8, spp=1, pad_multiple=64)
+    flat = flatten_scene(scene)
+    perm = np.asarray(ct.triangle_morton_perm(flat))
+    act = np.asarray(flat.tri_active)[perm]
+    n_act = int(np.asarray(flat.tri_active).sum())
+    assert act[:n_act].all() and not act[n_act:].any()
+
+
+def test_tie_break_resolves_to_authoring_index_order():
+    # Two bitwise-identical triangles (so any hitting ray computes
+    # EXACTLY equal t for both) with different materials, scanned in the
+    # ADVERSARIALLY reversed order a spatial reorder could produce. The
+    # original-index carry row must hand the tie to the lower authoring
+    # index — the reference's first-wins strict-< scan (Scene.h:218-257).
+    # Padded past TRI_BLOCK with distant dummies: the index carry is only
+    # compiled in when a reorder is possible (nt > TRI_BLOCK).
+    nt = ct.TRI_BLOCK + 2
+    col = np.array(
+        [-1.0, -1.0, 5.0, 2.0, 0.0, 0.0, 0.0, 2.0, 0.0, 0.0, 0.0, -1.0],
+        np.float32,
+    )
+    far = col.copy()
+    far[2] = 900.0  # same shape, far behind: hits at t = 900, never wins
+    tri = np.stack([col, col] + [far] * ct.TRI_BLOCK, axis=1)  # [12, nt]
+    # scan slot 0 = authoring index 1, scan slot 1 = authoring index 0
+    gi_row = np.concatenate(
+        [[1.0, 0.0], 2.0 + np.arange(ct.TRI_BLOCK)]
+    ).astype(np.float32)
+    tri13 = np.concatenate([tri, gi_row[None]], axis=0)
+    mat = np.zeros((7, nt), np.float32)
+    mat[0:3, 0] = (1.0, 0.0, 0.0)  # authoring idx 0: red -> must win
+    mat[0:3, 1] = (0.0, 1.0, 0.0)  # authoring idx 1: green
+    sph = np.zeros((4, 1), np.float32)
+    sph[3] = -1.0
+    pl_ = np.zeros((4, 1), np.float32)
+    shape = (1, 8)
+    rays = [np.zeros(shape, np.float32) for _ in range(5)]
+    rays.append(np.ones(shape, np.float32))  # dz = +1 -> hits at t = 5
+    out = ct._closest_hit(
+        jnp.asarray(sph), jnp.asarray(pl_), jnp.asarray(tri13),
+        jnp.asarray(mat), 0, 0, nt, *(jnp.asarray(a) for a in rays),
+    )
+    t, ar, ag = (np.asarray(out[i]) for i in (0, 4, 5))
+    assert np.allclose(t, 5.0)
+    assert (ar == 1.0).all() and (ag == 0.0).all()
