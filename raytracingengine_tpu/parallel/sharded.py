@@ -82,6 +82,15 @@ def render_hdr_sharded(
 
     px, py = camera.pixel_grid()
     r = camera.num_pixels
+    # Fused kernels want compact image patches per tile (see
+    # pipeline._swizzle_perm); reorder before the shard split and invert
+    # after the gather. Shards also get contiguous patch runs this way.
+    swizzle = cfg.use_pallas
+    if swizzle:
+        from raytracingengine_tpu.render.pipeline import _swizzle_perm
+
+        perm, inv_perm = _swizzle_perm(camera.width, camera.height)
+        px, py = px[perm], py[perm]
     # Local chunking keeps per-chip memory bounded; pad to n_ray * chunk.
     local = -(-r // n_ray)
     chunk = min(cfg.chunk_size, local)
@@ -118,7 +127,10 @@ def render_hdr_sharded(
         check_vma=False,
     )
     out = fn(px, py, scene, camera, key)
-    return out[:r].reshape(camera.height, camera.width, 3)
+    out = out[:r]
+    if swizzle:
+        out = out[inv_perm]
+    return out.reshape(camera.height, camera.width, 3)
 
 
 def render_hdr_auto(

@@ -13,8 +13,11 @@ contributes (TraceRay always returns a value), so samples == spp always.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from raytracingengine_tpu.core.camera import Camera
 from raytracingengine_tpu.geometry.intersect import FlatScene, flatten_scene
@@ -24,6 +27,36 @@ from raytracingengine_tpu.render.integrator import (
     integrate_wavefront,
 )
 from raytracingengine_tpu.scene import Scene
+
+
+@functools.lru_cache(maxsize=None)
+def _swizzle_perm(width: int, height: int, pw: int = 128, ph: int = 64):
+    """Patch-swizzled pixel order for the fused kernels.
+
+    Row-major pixel order hands each [SUB=64, LANE=128]-ray kernel tile a
+    16-row full-width strip at 512^2 (worse at 4K) — maximal spatial
+    spread, so per-block AABB culling and the whole-tile early-exit depth
+    loop get the least coherent ray sets possible. This permutation
+    regroups pixels into pw x ph patches (defaults = one kernel tile
+    exactly: LANE columns x SUB rows), row-major inside each patch, so a
+    tile covers a compact rectangle of the image instead of a strip.
+    Pure reindexing: the inverse gather restores row-major output, so
+    spp=1 renders are bit-identical; spp>1 renders draw the same jitter
+    streams assigned to different pixels (identical distribution).
+    Static per (width, height) — computed once in numpy, constant-folded
+    under jit.
+
+    Returns (perm, inv): new_idx -> old flat pixel idx, and its inverse.
+    """
+    idx = np.arange(width * height, dtype=np.int32).reshape(height, width)
+    patches = [
+        idx[y0 : y0 + ph, x0 : x0 + pw].ravel()
+        for y0 in range(0, height, ph)
+        for x0 in range(0, width, pw)
+    ]
+    perm = np.concatenate(patches) if patches else idx.ravel()
+    inv = np.argsort(perm).astype(np.int32)
+    return perm, inv
 
 
 def resolve_mode(scene: Scene, cfg: RenderConfig) -> str:
@@ -178,6 +211,15 @@ def render_hdr(
 
     px, py = camera.pixel_grid()
     r = camera.num_pixels
+    # Fused-kernel path: regroup pixels so each kernel tile gets a
+    # compact 128x64 image patch (see _swizzle_perm). The XLA integrator
+    # is order-agnostic (all-pairs contractions), so only gate on
+    # use_pallas; the inverse gather after lax.map keeps the output
+    # row-major and bit-identical.
+    swizzle = cfg.use_pallas
+    if swizzle:
+        perm, inv_perm = _swizzle_perm(camera.width, camera.height)
+        px, py = px[perm], py[perm]
     chunk = min(cfg.chunk_size, r)
     n_chunks = -(-r // chunk)
     pad = n_chunks * chunk - r
@@ -200,4 +242,7 @@ def render_hdr(
         )
 
     out = jax.lax.map(per_chunk, (chunk_ids, px, py))  # [n_chunks, chunk, 3]
-    return out.reshape(-1, 3)[:r].reshape(camera.height, camera.width, 3)
+    flat_out = out.reshape(-1, 3)[:r]
+    if swizzle:
+        flat_out = flat_out[inv_perm]
+    return flat_out.reshape(camera.height, camera.width, 3)

@@ -300,3 +300,35 @@ def test_tie_break_resolves_to_authoring_index_order():
     t, ar, ag = (np.asarray(out[i]) for i in (0, 4, 5))
     assert np.allclose(t, 5.0)
     assert (ar == 1.0).all() and (ag == 0.0).all()
+
+def test_swizzle_perm_roundtrip_and_patches():
+    from raytracingengine_tpu.render.pipeline import _swizzle_perm
+
+    for w, h in [(512, 512), (1920, 1080), (150, 70), (8, 8)]:
+        perm, inv = _swizzle_perm(w, h)
+        assert sorted(perm.tolist()) == list(range(w * h))
+        assert (perm[inv] == np.arange(w * h)).all()
+    # At 512^2 the first kernel-tile's worth of pixels must be the
+    # top-left 128x64 rectangle, not a 16-row full-width strip.
+    perm, _ = _swizzle_perm(512, 512)
+    first = perm[: 128 * 64]
+    ys, xs = first // 512, first % 512
+    assert ys.max() == 63 and xs.max() == 127
+
+
+def test_swizzled_render_bit_identical_to_rowmajor_kernel():
+    # Image size that doesn't divide the 128x64 patch: partial patches on
+    # both axes. render_hdr's swizzle + inverse gather must reproduce the
+    # SAME kernel run on plain row-major rays BIT-identically (per-ray
+    # results don't depend on tile composition; only grouping changes).
+    from raytracingengine_tpu.render.pipeline import render_hdr
+
+    scene, camera = head_box_scene(width=160, height=96, spp=1)
+    cfg_p = RenderConfig(shadow_mode="binary", use_pallas=True)
+    img = np.asarray(render_hdr(scene, camera, cfg_p))
+    flat = flatten_scene(scene)
+    o, d = camera.rays_for_pixels(*camera.pixel_grid())
+    direct = np.asarray(ct.chain_trace_pallas(flat, o, d, CFG)).reshape(
+        96, 160, 3
+    )
+    np.testing.assert_array_equal(img, direct)
