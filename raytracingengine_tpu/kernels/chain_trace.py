@@ -71,7 +71,7 @@ def pack_tri_aabbs(flat: FlatScene, block: int = TRI_BLOCK, perm=None):
     boundary-grazing hit the exact scan would find. `perm` (from
     triangle_morton_perm) reorders triangles before blocking so boxes
     bound *spatially adjacent* triangles — it must match the order of the
-    tri table handed to the kernel (see sort_tables)."""
+    tri table handed to the kernel (see pack_forward_tables)."""
     dt = jnp.float32
     nt = flat.n_triangles
     if nt == 0:
@@ -430,9 +430,13 @@ def _closest_hit(
         n_blocks = -(-nt // TRI_BLOCK)
 
         def blk_body(b, carry):
-            # Segment bound = each lane's current best t: blocks entirely
-            # behind an already-found hit are skipped (strict-< updates
-            # mean a farther hit could never win anyway).
+            # Segment bound = each lane's current best t. Under tie_gi an
+            # equal-t hit with a lower original index CAN still win, so
+            # the bound must keep tie candidates un-culled: the slab test
+            # uses the inclusive tmin <= t_hi (plus pack_tri_aabbs' box
+            # inflation), so a block containing a t == best_t tie always
+            # passes. Only blocks strictly behind the best hit are
+            # skipped, which no update rule could ever select from.
             any_hit_blk = _block_hits_tile(
                 taabb, b, ox, oy, oz, dx, dy, dz, want, carry[0]
             )

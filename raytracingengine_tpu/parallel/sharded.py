@@ -112,8 +112,12 @@ def render_hdr_sharded(
         def per_chunk(args):
             cid, px_i, py_i = args
             ck = jax.random.fold_in(key_l, shard_id * n_chunks + cid)
+            # base_key (replicated across shards) + per-pixel jitter
+            # keying makes spp>1 renders shard-count-invariant AND
+            # identical to the single-device pipeline at the same seed.
             return _render_chunk(
-                flat, camera_l, cfg, m, px_i, py_i, ck, prim_axis
+                flat, camera_l, cfg, m, px_i, py_i, ck, prim_axis,
+                base_key=key_l,
             )
 
         out = jax.lax.map(per_chunk, (jnp.arange(n_chunks), px_c, py_c))

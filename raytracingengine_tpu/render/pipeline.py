@@ -83,6 +83,22 @@ def render_rays(
     return fn(flat, o, d, cfg)
 
 
+def _pixel_jitter(key, s, pids, n, dtype):
+    """Per-sample jitter in [0,1)^2, keyed by the pixel's row-major flat
+    index (`pids`) — NOT by chunk-relative position. This makes same-seed
+    spp>1 renders identical across the swizzled fused-kernel path and the
+    XLA path (each pixel draws the same stream wherever the chunking or
+    the patch swizzle placed it). ADVICE r03: chunk-position keying
+    silently broke cross-path same-seed reproducibility.
+    (Behavior change vs rounds 1-3: same-seed spp>1 renders differ from
+    earlier versions by jitter stream assignment only — identical
+    distribution. The in-kernel spp sampler keeps its HW-PRNG streams.)
+    """
+    ks = jax.random.fold_in(key, s)
+    keys = jax.vmap(lambda p: jax.random.fold_in(ks, p))(pids)
+    return jax.vmap(lambda k: jax.random.uniform(k, (2,), dtype=dtype))(keys)
+
+
 def _render_chunk(
     flat: FlatScene,
     camera: Camera,
@@ -92,6 +108,8 @@ def _render_chunk(
     py: jnp.ndarray,
     chunk_key: jnp.ndarray,
     prim_axis: str | None = None,
+    base_key: jnp.ndarray | None = None,
+    pids: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     if cfg.soft_primary and mode == "chain":
         from raytracingengine_tpu.render.soft_primary import integrate_chain_soft
@@ -157,10 +175,13 @@ def _render_chunk(
     o0, d0 = camera.rays_for_pixels(px, py, None)  # sample 0: center ray
     acc = integrate(flat, o0, d0, cfg, prim_axis)
     if camera.spp > 1:
+        if pids is None:  # direct callers without a pixel-id mapping
+            pids = (py.astype(jnp.int32) * camera.width
+                    + px.astype(jnp.int32))
+        jkey = base_key if base_key is not None else chunk_key
 
         def body(carry, s):
-            ks = jax.random.fold_in(chunk_key, s)
-            jitter = jax.random.uniform(ks, (px.shape[0], 2), dtype=o0.dtype)
+            jitter = _pixel_jitter(jkey, s, pids, px.shape[0], o0.dtype)
             o, d = camera.rays_for_pixels(px, py, jitter)
             return carry + integrate(flat, o, d, cfg, prim_axis), None
 
@@ -217,14 +238,20 @@ def render_hdr(
     # use_pallas; the inverse gather after lax.map keeps the output
     # row-major and bit-identical.
     swizzle = cfg.use_pallas
+    # Row-major flat pixel ids ride along so jitter streams stay keyed to
+    # the PIXEL, not to where chunking/swizzling placed it (_pixel_jitter).
+    pids = np.arange(r, dtype=np.int32)
     if swizzle:
         perm, inv_perm = _swizzle_perm(camera.width, camera.height)
         px, py = px[perm], py[perm]
+        pids = pids[perm]
+    pids = jnp.asarray(pids)
     chunk = min(cfg.chunk_size, r)
     n_chunks = -(-r // chunk)
     pad = n_chunks * chunk - r
     px = jnp.pad(px, (0, pad)).reshape(n_chunks, chunk)
     py = jnp.pad(py, (0, pad)).reshape(n_chunks, chunk)
+    pids = jnp.pad(pids, (0, pad)).reshape(n_chunks, chunk)
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec
 
@@ -236,12 +263,13 @@ def render_hdr(
     chunk_ids = jnp.arange(n_chunks)
 
     def per_chunk(args):
-        cid, px_c, py_c = args
+        cid, px_c, py_c, pid_c = args
         return _render_chunk(
-            flat, camera, cfg, m, px_c, py_c, jax.random.fold_in(key, cid)
+            flat, camera, cfg, m, px_c, py_c, jax.random.fold_in(key, cid),
+            base_key=key, pids=pid_c,
         )
 
-    out = jax.lax.map(per_chunk, (chunk_ids, px, py))  # [n_chunks, chunk, 3]
+    out = jax.lax.map(per_chunk, (chunk_ids, px, py, pids))  # [n_chunks, chunk, 3]
     flat_out = out.reshape(-1, 3)[:r]
     if swizzle:
         flat_out = flat_out[inv_perm]

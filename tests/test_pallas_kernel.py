@@ -332,3 +332,23 @@ def test_swizzled_render_bit_identical_to_rowmajor_kernel():
         96, 160, 3
     )
     np.testing.assert_array_equal(img, direct)
+
+
+def test_spp_jitter_streams_match_across_paths():
+    """Same-seed spp>1 renders agree across the swizzled fused-kernel
+    path and the plain XLA path (ADVICE r03): jitter is keyed by the
+    pixel's row-major flat index, so the patch swizzle and chunking can
+    no longer reassign sample streams. Engines differ only in fp op
+    order, so agreement is tight-allclose, not sampling-noise-sized."""
+    from raytracingengine_tpu.render.pipeline import render_hdr
+
+    scene, camera = head_box_scene(width=40, height=24, spp=3)
+    key = jax.random.PRNGKey(7)
+    cfg_p = RenderConfig(
+        shadow_mode="binary", use_pallas=True, differentiable=True,
+        chunk_size=512,
+    )
+    cfg_x = RenderConfig(shadow_mode="binary", chunk_size=256)
+    a = np.asarray(render_hdr(scene, camera, cfg_p, key=key))
+    b = np.asarray(render_hdr(scene, camera, cfg_x, key=key))
+    np.testing.assert_allclose(a, b, atol=1e-5, rtol=1e-5)
