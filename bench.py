@@ -9,7 +9,7 @@ device time: this image's tunneled TPU backend costs ~28 ms per dispatch
 (profiling/profile_step.py), which a real training loop amortizes exactly
 like the scan does. The single-dispatch step time is reported alongside.
 
-Secondary lines (stderr + BENCH_DETAIL_r03.json) cover every BASELINE
+Secondary lines (stderr + BENCH_DETAIL_r04.json) cover every BASELINE
 config on this chip:
   - forward render @1080p spp=8 (production path, config #2 resolution)
   - 32-spp in-kernel AA at 1000x1000 (config #1 semantics, the
@@ -161,6 +161,36 @@ def main() -> None:
     detail["glass_1080p_mrays_s"] = round(rays_1080 / dt / 1e6, 1)
     log(f"glass: {dt*1e3:.1f} ms/frame -> {detail['glass_1080p_mrays_s']} Mrays/s")
 
+    # ---- glass TRAINING: value_and_grad through the wavefront path ----
+    # The backward engine here is XLA autodiff of the wavefront
+    # integrator (wavefront_trace._wavefront_bwd — the fused kernel is
+    # forward-only), so this line prices the documented engine swap
+    # rather than hiding it (VERDICT r03 task #3). 512^2 rays: the
+    # fixed-trip differentiable replay materializes per-depth residuals,
+    # so 1080p would not fit HBM.
+    import warnings as _warnings
+
+    from raytracingengine_tpu.kernels.wavefront_trace import wavefront_trace
+
+    gts, gtc = glass_sphere_scene(width=512, height=512, spp=1)
+    gto, gtd = gtc.rays_for_pixels(*gtc.pixel_grid())
+    gt_cfg = RenderConfig(wavefront_budget=48)
+    gt_params, gt_static = partition(gts)
+
+    def glass_loss(p):
+        fl = flatten_scene(combine(p, gt_static))
+        img = wavefront_trace(fl, gto, gtd, gt_cfg)
+        return jnp.mean(img * img)
+
+    ggf = jax.jit(jax.value_and_grad(glass_loss))
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("ignore")  # the engine-swap warning, priced here
+        dt = timed(lambda: ggf(gt_params)[0], label="glass fwd+bwd @512^2")
+    detail["glass_train_512_mrays_s"] = round(512 * 512 / dt / 1e6, 2)
+    detail["glass_train_backward_engine"] = "xla_autodiff_wavefront_replay"
+    log(f"glass fwd+bwd: {dt*1e3:.1f} ms/step -> "
+        f"{detail['glass_train_512_mrays_s']} Mrays/s (XLA-autodiff backward)")
+
     # ---- config #5 single chip: 4K 64-sphere 4-light stress ----
     # pad_multiple=None: the builder's default 128 exists for prim-axis
     # sharding divisibility and would pad LIGHTS 4 -> 128, multiplying
@@ -183,6 +213,25 @@ def main() -> None:
     detail["dense_mesh_512_mrays_s"] = round(512 * 512 / dt / 1e6, 2)
     log(f"dense mesh: {dt*1e3:.1f} ms/frame -> "
         f"{detail['dense_mesh_512_mrays_s']} Mrays/s (brute force, 6017 prims)")
+
+    # ---- dense mesh TRAINING: fwd+bwd through the BLOCKED adjoint ----
+    # VERDICT r03 task #1: the fused backward now covers dense meshes
+    # (chain_grad_pallas_blocked — per-depth shade-vjp + winner-masked
+    # per-block hit pullback). This line is the first recorded number
+    # for training a >512-primitive scene on-chip.
+    do_, dd_ = dc.rays_for_pixels(*dc.pixel_grid())
+    d_params, d_static = partition(ds)
+
+    def dense_loss(p):
+        fl = flatten_scene(combine(p, d_static))
+        img = cg.chain_trace_fused(fl, do_, dd_, dcfg)
+        return jnp.mean(img * img)
+
+    dgf = jax.jit(jax.value_and_grad(dense_loss))
+    dt = timed(lambda: dgf(d_params)[0], label="dense mesh fwd+bwd @512^2")
+    detail["dense_mesh_train_512_mrays_s"] = round(512 * 512 / dt / 1e6, 2)
+    log(f"dense mesh fwd+bwd: {dt*1e3:.1f} ms/step -> "
+        f"{detail['dense_mesh_train_512_mrays_s']} Mrays/s (blocked adjoint)")
 
     # ---- dense mesh, worst-case authoring order (hash-order OBJ) ----
     # Same geometry, triangle list randomly shuffled: block culling is
@@ -214,7 +263,7 @@ def main() -> None:
 
     detail["baseline_rays_s"] = _measured_baseline()
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                       "BENCH_DETAIL_r03.json")
+                       "BENCH_DETAIL_r04.json")
     with open(out, "w") as f:
         json.dump(detail, f, indent=1)
     log(f"detail -> {out}")
