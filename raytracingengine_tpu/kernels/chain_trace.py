@@ -54,12 +54,79 @@ from raytracingengine_tpu.geometry.intersect import EPS, FlatScene
 SUB, LANE = 64, 128
 TILE = SUB * LANE  # rays per kernel instance
 
+#: Dense-scene tile: whole-tile culling and the whole-tile early-exit
+#: depth loop only skip work when EVERY lane in the tile agrees, so
+#: their win shrinks as the tile's image footprint grows. Above
+#: DENSE_TRI_THRESHOLD triangles the forward kernel switches to
+#: [DENSE_SUB=8, LANE] tiles covering one 32x32 pixel patch (one native
+#: fp32 VPU tile, so per-op efficiency is unchanged): the tile frustum
+#: is ~8x tighter, so far more treelet groups/blocks cull and depth
+#: loops exit earlier. Pure partitioning — results are bit-identical.
+DENSE_SUB = 8
+DENSE_TRI_THRESHOLD = 1024
+
+
+def tile_layout(n_triangles: int):
+    """(sub, (patch_w, patch_h)) for a scene's triangle count: the
+    kernel tile sublane count and the matching swizzle patch
+    (pipeline._swizzle_perm) whose row-major ravel is exactly one tile."""
+    if n_triangles >= DENSE_TRI_THRESHOLD:
+        return DENSE_SUB, (32, 32)
+    return SUB, (LANE, SUB)
+
+
 _INF = 3.0e38
 
 #: Triangles per culling block: the scan tests one conservative AABB per
 #: block against the whole ray tile and skips blocks no ray can touch
 #: (lax.cond). Exact-result-preserving: skipped blocks have no hits.
-TRI_BLOCK = 256
+#: 128 (one lane vector) measured 1.57x faster than 256 on the 6k-tri
+#: dense mesh @512^2 (28 vs 44 ms; 64 and 32 are slower again — the
+#: per-block slab test + cond overhead starts to win).
+TRI_BLOCK = 128
+
+#: Culling blocks per treelet group: the scan's SECOND hierarchy level
+#: (VERDICT r03 task #2). One conservative AABB bounds each run of
+#: TRI_GROUP blocks (TRI_GROUP * TRI_BLOCK = 1024 triangles); a group
+#: the whole tile misses skips TRI_GROUP block tests AND their scans
+#: with a single slab test. Same conservativeness argument as the block
+#: level, so results stay bit-identical.
+TRI_GROUP = 8
+
+
+def n_culling_blocks(nt: int) -> int:
+    """Culling-block count for nt triangles, padded to a full treelet
+    group multiple — the table width contract between
+    pack_forward_tables (which pads with far-point blocks / degenerate
+    triangles) and the kernels' fixed-width group/block loops."""
+    nb = -(-nt // TRI_BLOCK)
+    return -(-nb // TRI_GROUP) * TRI_GROUP
+
+
+def pack_group_aabbs(taabb: jnp.ndarray) -> jnp.ndarray:
+    """Treelet-level AABBs over runs of TRI_GROUP blocks -> [6, n_groups].
+
+    Empty blocks are represented as far-point boxes (lo = hi = 2e38,
+    pack_tri_aabbs); a max over them would inflate the group box to
+    cover everything, so they are excluded from the reduction and
+    all-empty groups get the same far-point representation."""
+    lo, hi = taabb[:3], taabb[3:]  # [3, n_blocks]
+    far = jnp.asarray(2.0e38, taabb.dtype)
+    empty = jnp.any(lo > hi, axis=0) | (lo[0] >= 1.0e38)
+    big = jnp.asarray(_INF, taabb.dtype)
+    lo_m = jnp.where(empty[None], big, lo)
+    hi_m = jnp.where(empty[None], -big, hi)
+    n_blocks = taabb.shape[1]
+    n_groups = -(-n_blocks // TRI_GROUP)
+    pad = n_groups * TRI_GROUP - n_blocks
+    lo_m = jnp.pad(lo_m, ((0, 0), (0, pad)), constant_values=_INF)
+    hi_m = jnp.pad(hi_m, ((0, 0), (0, pad)), constant_values=-_INF)
+    glo = jnp.min(lo_m.reshape(3, n_groups, TRI_GROUP), axis=2)
+    ghi = jnp.max(hi_m.reshape(3, n_groups, TRI_GROUP), axis=2)
+    gempty = jnp.any(glo > ghi, axis=0, keepdims=True)
+    glo = jnp.where(gempty, far, glo)
+    ghi = jnp.where(gempty, far, ghi)
+    return jnp.concatenate([glo, ghi], axis=0)
 
 
 def pack_tri_aabbs(flat: FlatScene, block: int = TRI_BLOCK, perm=None):
@@ -213,15 +280,42 @@ def pack_forward_tables(flat: FlatScene):
     reproduce the reference's first-wins tie-break in *authoring* order
     (Scene.h:218-257) exactly, independent of scan order — so reordering
     is bit-result-identical."""
+    tables, _perm = pack_forward_tables_perm(flat)
+    return tables
+
+
+def pack_forward_tables_perm(flat: FlatScene, dmean=None):
+    """pack_forward_tables, also returning the triangle permutation.
+
+    -> ((sph, pl, tri13, taabb, mat, light), perm) where `perm` is the
+    scan-order -> authoring-order map actually applied to the tri table
+    (scan column j holds authoring triangle perm[j]; -1 on padded
+    columns), or None when no reorder fired (nt <= TRI_BLOCK). The
+    blocked adjoint kernel (chain_grad.py) accumulates triangle
+    cotangents in scan order and needs `perm` to scatter them back to
+    authoring order.
+
+    When culling is active the tri table is width-padded to a full
+    block multiple (padded columns are degenerate: e1 = e2 = 0 -> a = 0
+    -> miss, original-index row 2^30 so they lose every tie), so every
+    block the kernels scan is exactly TRI_BLOCK wide.
+
+    `dmean` (optional [3] unit vector, the mean ray direction) sorts
+    whole BLOCKS front-to-back along it: the per-lane best-t bound then
+    culls far blocks as soon as near hits land (back faces of a closed
+    mesh stop being scanned at all). Result-identical: the closest-hit
+    update is a lexicographic (t, original-index) min, which is
+    visit-order independent, and culling stays conservative."""
     sph, pl_, tri, mat, light = pack_scene_tables(flat)
     nt = flat.n_triangles
     if nt == 0:
         tri13 = jnp.concatenate(
             [tri, jnp.zeros((1, tri.shape[1]), jnp.float32)], axis=0
         )
-        return sph, pl_, tri13, pack_tri_aabbs(flat), mat, light
+        return (sph, pl_, tri13, pack_tri_aabbs(flat), mat, light), None
     base = flat.n_spheres + flat.n_planes
     gi = (base + jnp.arange(nt)).astype(jnp.float32)
+    perm = None
     if nt > TRI_BLOCK:
         cands = jnp.stack(
             [
@@ -240,10 +334,55 @@ def pack_forward_tables(flat: FlatScene):
         taabb = aabbs[best]
         tri = tri[:, perm]
         gi = gi[perm]
+        # Full blocks AND full groups: pad the table (degenerate
+        # triangles, far-point blocks) so the kernels' fixed-width
+        # block/group loops are exact (n_culling_blocks contract).
+        n_blocks = n_culling_blocks(nt)
+        pad_b = n_blocks - taabb.shape[1]
+        if pad_b:
+            taabb = jnp.pad(
+                taabb, ((0, 0), (0, pad_b)), constant_values=2.0e38
+            )
+        pad = n_blocks * TRI_BLOCK - nt
+        if pad:
+            tri = jnp.pad(tri, ((0, 0), (0, pad)))
+            gi = jnp.pad(gi, (0, pad), constant_values=float(2 ** 30))
+            perm = jnp.pad(perm, (0, pad), constant_values=-1)
+        if dmean is not None:
+            # Hierarchy-preserving front-to-back: order treelet GROUPS
+            # by their nearest block's projection on the mean ray
+            # direction, and blocks WITHIN each group likewise. Group
+            # membership (hence group boxes) is unchanged — a plain
+            # global depth sort would smear every group box across the
+            # whole silhouette and forfeit group-level skips (measured
+            # 27.5 -> 44.8 ms on the dense mesh) — while the per-lane
+            # best-t bound still sees near geometry first and culls the
+            # mesh's far side. Empty far-point blocks sort last.
+            c = (taabb[:3] + taabb[3:]) * 0.5
+            key = dmean[0] * c[0] + dmean[1] * c[1] + dmean[2] * c[2]
+            key = jnp.where(taabb[0] >= 1.0e38, 3.0e38, key)
+            ng = n_blocks // TRI_GROUP
+            kg = key.reshape(ng, TRI_GROUP)
+            within = jnp.argsort(kg, axis=1)
+            go = jnp.argsort(jnp.min(kg, axis=1))
+            order = (
+                jnp.arange(ng)[:, None] * TRI_GROUP + within
+            )[go].reshape(-1)
+            taabb = taabb[:, order]
+            blk = (
+                order[:, None] * TRI_BLOCK + jnp.arange(TRI_BLOCK)[None, :]
+            ).reshape(-1)
+            tri = tri[:, blk]
+            gi = gi[blk]
+            perm = perm[blk]
+        # Treelet level: group AABBs ride in the SAME table, columns
+        # [n_blocks:] — the kernels know n_blocks statically from nt, so
+        # no signature changes anywhere.
+        taabb = jnp.concatenate([taabb, pack_group_aabbs(taabb)], axis=1)
     else:
         taabb = pack_tri_aabbs(flat)
     tri13 = jnp.concatenate([tri, gi[None, :]], axis=0)
-    return sph, pl_, tri13, taabb, mat, light
+    return (sph, pl_, tri13, taabb, mat, light), perm
 
 
 def _block_hits_tile(aabb, b, ox, oy, oz, dx, dy, dz, interest, t_hi):
@@ -287,7 +426,7 @@ def _sky(dx, dy, dz):
 
 def _closest_hit(
     sph, pl_, tri, mat, ns, np_, nt, ox, oy, oz, dx, dy, dz,
-    taabb=None, interest=None,
+    taabb=None, interest=None, want_pos=False,
 ):
     """Linear scan over SMEM primitive tables -> best-hit state.
 
@@ -300,14 +439,22 @@ def _closest_hit(
     AABBs, pack_tri_aabbs) the triangle scan skips whole blocks no
     `interest` lane's ray can touch — result-identical, since skipped
     blocks contain no hits for any lane whose output is used.
+
+    `want_pos=True` (the blocked adjoint kernel, chain_grad.py) appends
+    two more outputs: the winner's SCAN position (sphere i -> i, plane i
+    -> ns+i, triangle slot i -> ns+np_+i — the table column, NOT the
+    original authoring index) and the winner's transparency (mat row 5).
+    The scan-position row is what lets the backward pass pull hit-field
+    cotangents back to the one winning primitive per lane with a one-hot
+    mask, and it adds two carry rows only for callers that ask.
     """
     shape = ox.shape
     # Static: spatial reorder (pack_forward_tables) only fires above
     # TRI_BLOCK, so smaller scenes skip the best-index carry row and its
     # tie compare entirely — zero cost vs the plain strict-< scan.
     tie_gi = nt > TRI_BLOCK
-    # Single packed carry [9 or 10, SUB, LANE]:
-    # (t, nx, ny, nz, ar, ag, ab, sp, sh[, best_gi]).
+    # Single packed carry [9..12, SUB, LANE]:
+    # (t, nx, ny, nz, ar, ag, ab, sp, sh[, best_gi][, pos, tau]).
     # All fields update through ONE jnp.where: if the predicate chain were
     # consumed by several selects, XLA may duplicate it per consumer with
     # different FMA contraction, and an exact edge hit (u or v == 0) can
@@ -316,11 +463,14 @@ def _closest_hit(
     rows = [jnp.full((1,) + shape, _INF), jnp.zeros((8,) + shape)]
     if tie_gi:
         rows.append(jnp.full((1,) + shape, _INF))  # best original index
+    if want_pos:
+        rows.append(jnp.full((1,) + shape, _INF))  # winner scan position
+        rows.append(jnp.zeros((1,) + shape))  # winner transparency
     carry = jnp.concatenate(rows, axis=0)
 
     a_coef = dx * dx + dy * dy + dz * dz  # d.d (Shape.h:75)
 
-    def upd(carry, t_new, hit, n3, gi, gi_f):
+    def upd(carry, t_new, hit, n3, gi, gi_f, pos_f):
         t = carry[0]
         if tie_gi:
             # Equal-t ties go to the lower ORIGINAL index: with in-order
@@ -346,6 +496,9 @@ def _closest_hit(
         ]
         if tie_gi:
             fields.append(gi_f * one)
+        if want_pos:
+            fields.append(pos_f * one)
+            fields.append(mat[5, gi] * one)
         return jnp.where(closer[None], jnp.stack(fields), carry)
 
     def sphere_body(i, carry):
@@ -369,7 +522,7 @@ def _closest_hit(
         inv = jax.lax.rsqrt(jnp.maximum(g2, 1e-24))
         return upd(
             carry, t_new, hit, (gx * inv, gy * inv, gz * inv), i,
-            i.astype(jnp.float32),
+            i.astype(jnp.float32), i.astype(jnp.float32),
         )
 
     def plane_body(i, carry):
@@ -382,7 +535,7 @@ def _closest_hit(
         one = jnp.ones_like(ox)
         return upd(
             carry, t_new, hit, (nx_ * one, ny_ * one, nz_ * one), ns + i,
-            (ns + i).astype(jnp.float32),
+            (ns + i).astype(jnp.float32), (ns + i).astype(jnp.float32),
         )
 
     def tri_body(i, carry):
@@ -420,14 +573,15 @@ def _closest_hit(
             gi_f = jnp.float32(0.0)
             gi = ns + np_ + i
         return upd(
-            carry, t_new, hit, (nux * one, nuy * one, nuz * one), gi, gi_f
+            carry, t_new, hit, (nux * one, nuy * one, nuz * one), gi, gi_f,
+            (ns + np_ + i).astype(jnp.float32),
         )
 
     carry = jax.lax.fori_loop(0, ns, sphere_body, carry)
     carry = jax.lax.fori_loop(0, np_, plane_body, carry)
     if taabb is not None and nt > TRI_BLOCK:
         want = interest if interest is not None else jnp.ones(shape) > 0.0
-        n_blocks = -(-nt // TRI_BLOCK)
+        n_blocks = n_culling_blocks(nt)
 
         def blk_body(b, carry):
             # Segment bound = each lane's current best t. Under tie_gi an
@@ -441,7 +595,9 @@ def _closest_hit(
                 taabb, b, ox, oy, oz, dx, dy, dz, want, carry[0]
             )
             lo_i = b * TRI_BLOCK
-            hi_i = jnp.minimum(lo_i + TRI_BLOCK, nt)
+            # Full block: pack_forward_tables pads the tri table to a
+            # block multiple (padded entries are degenerate misses).
+            hi_i = lo_i + TRI_BLOCK
             return jax.lax.cond(
                 any_hit_blk,
                 lambda c: jax.lax.fori_loop(lo_i, hi_i, tri_body, c),
@@ -449,9 +605,30 @@ def _closest_hit(
                 carry,
             )
 
-        carry = jax.lax.fori_loop(0, n_blocks, blk_body, carry)
+        # Treelet level: taabb columns [n_blocks:] hold TRI_GROUP-block
+        # group AABBs (pack_group_aabbs); one whole-tile miss skips the
+        # whole group's block tests and scans.
+        n_groups = n_blocks // TRI_GROUP
+
+        def grp_body(g, carry):
+            hit_grp = _block_hits_tile(
+                taabb, n_blocks + g, ox, oy, oz, dx, dy, dz, want, carry[0]
+            )
+            lo_b = g * TRI_GROUP
+            hi_b = lo_b + TRI_GROUP  # groups are full (n_culling_blocks)
+            return jax.lax.cond(
+                hit_grp,
+                lambda c: jax.lax.fori_loop(lo_b, hi_b, blk_body, c),
+                lambda c: c,
+                carry,
+            )
+
+        carry = jax.lax.fori_loop(0, n_groups, grp_body, carry)
     else:
         carry = jax.lax.fori_loop(0, nt, tri_body, carry)
+    if want_pos:
+        p = 10 if tie_gi else 9
+        return tuple(carry[i] for i in range(9)) + (carry[p], carry[p + 1])
     return tuple(carry[i] for i in range(9))
 
 
@@ -524,14 +701,16 @@ def _any_hit(
     occ = jax.lax.fori_loop(0, np_, plane_body, occ)
     if taabb is not None and nt > TRI_BLOCK:
         want = interest if interest is not None else jnp.ones(ox.shape) > 0.0
-        n_blocks = -(-nt // TRI_BLOCK)
+        n_blocks = n_culling_blocks(nt)
 
         def blk_body(b, occ):
             any_hit_blk = _block_hits_tile(
                 taabb, b, ox, oy, oz, dx, dy, dz, want & (occ == 0.0), hi
             )
             lo_i = b * TRI_BLOCK
-            hi_i = jnp.minimum(lo_i + TRI_BLOCK, nt)
+            # Full block: pack_forward_tables pads the tri table to a
+            # block multiple (padded entries are degenerate misses).
+            hi_i = lo_i + TRI_BLOCK
             return jax.lax.cond(
                 any_hit_blk,
                 lambda c: jax.lax.fori_loop(lo_i, hi_i, tri_body, c),
@@ -539,7 +718,23 @@ def _any_hit(
                 occ,
             )
 
-        occ = jax.lax.fori_loop(0, n_blocks, blk_body, occ)
+        n_groups = n_blocks // TRI_GROUP
+
+        def grp_body(g, occ):
+            hit_grp = _block_hits_tile(
+                taabb, n_blocks + g, ox, oy, oz, dx, dy, dz,
+                want & (occ == 0.0), hi,
+            )
+            lo_b = g * TRI_GROUP
+            hi_b = lo_b + TRI_GROUP  # groups are full (n_culling_blocks)
+            return jax.lax.cond(
+                hit_grp,
+                lambda c: jax.lax.fori_loop(lo_b, hi_b, blk_body, c),
+                lambda c: c,
+                occ,
+            )
+
+        occ = jax.lax.fori_loop(0, n_groups, grp_body, occ)
     else:
         occ = jax.lax.fori_loop(0, nt, tri_body, occ)
     return occ > 0.0
@@ -810,12 +1005,14 @@ def chain_trace_pallas(
 ) -> jnp.ndarray:
     """Forward fused trace: [R,3] origins/dirs -> [R,3] HDR radiance."""
     r = o.shape[0]
-    n_tiles = -(-r // TILE)
-    pad = n_tiles * TILE - r
+    sub, _ = tile_layout(flat.n_triangles)
+    tile = sub * LANE
+    n_tiles = -(-r // tile)
+    pad = n_tiles * tile - r
 
     def shape_ray(x, fill=0.0):
         x = jnp.pad(x, (0, pad), constant_values=fill)
-        return x.reshape(n_tiles * SUB, LANE).astype(jnp.float32)
+        return x.reshape(n_tiles * sub, LANE).astype(jnp.float32)
 
     ox, oy, oz = (shape_ray(o[:, i]) for i in range(3))
     # Padding lanes get a benign unit direction: d = 0 would make the
@@ -827,7 +1024,16 @@ def chain_trace_pallas(
     # whole-tile early-exit depth loop (ADVICE r01).
     live = shape_ray(jnp.ones((r,), jnp.float32))
 
-    sph, pl_, tri, taabb, mat, light = pack_forward_tables(flat)
+    # Mean primary direction -> front-to-back block order (the per-lane
+    # best-t bound then culls a closed mesh's far side). Value-only
+    # (stop_gradient): visit order never changes results, only speed.
+    dm = jnp.mean(d, axis=0)
+    dm = jax.lax.stop_gradient(
+        dm * jax.lax.rsqrt(jnp.maximum(jnp.sum(dm * dm), 1e-20))
+    )
+    (sph, pl_, tri, taabb, mat, light), _ = pack_forward_tables_perm(
+        flat, dmean=dm
+    )
     kernel = _make_kernel(
         flat.n_spheres, flat.n_planes, flat.n_triangles, flat.n_lights,
         cfg.max_depth, cfg.bias, cfg.min_weight,
@@ -836,7 +1042,7 @@ def chain_trace_pallas(
     smem = lambda t: pl.BlockSpec(
         t.shape, lambda i: tuple(0 for _ in t.shape), memory_space=pltpu.SMEM
     )
-    ray_spec = pl.BlockSpec((SUB, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    ray_spec = pl.BlockSpec((sub, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM)
 
     out = pl.pallas_call(
         kernel,
@@ -846,7 +1052,7 @@ def chain_trace_pallas(
         + [ray_spec] * 7,
         out_specs=(ray_spec, ray_spec, ray_spec),
         out_shape=tuple(
-            jax.ShapeDtypeStruct((n_tiles * SUB, LANE), jnp.float32)
+            jax.ShapeDtypeStruct((n_tiles * sub, LANE), jnp.float32)
             for _ in range(3)
         ),
     )(sph, pl_, tri, taabb, mat, light, ox, oy, oz, dx, dy, dz, live)
@@ -859,8 +1065,10 @@ def chain_trace_pallas(
 #: XLA path takes over). Empirically probed on TPU v5 lite: 19 fp32 rows
 #: x 8192 columns (608 KB) of SMEM tables compile and run; 16384 columns
 #: do not. The forward kernels scan primitives with fori_loops, so the
-#: ceiling is SMEM capacity, not compile time. (The python-unrolled fused
-#: BACKWARD kernel keeps its own lower cap, chain_grad.MAX_PRIMS_GRAD.)
+#: ceiling is SMEM capacity, not compile time. The fused BACKWARD
+#: (chain_grad) covers the same range: the blocked adjoint kernel's
+#: compile cost is primitive-count independent, so MAX_PRIMS_GRAD ==
+#: MAX_PRIMS.
 MAX_PRIMS = 8192
 
 

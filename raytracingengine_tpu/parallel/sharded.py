@@ -87,9 +87,19 @@ def render_hdr_sharded(
     # after the gather. Shards also get contiguous patch runs this way.
     swizzle = cfg.use_pallas
     if swizzle:
+        from raytracingengine_tpu.kernels.chain_trace import tile_layout
         from raytracingengine_tpu.render.pipeline import _swizzle_perm
 
-        perm, inv_perm = _swizzle_perm(camera.width, camera.height)
+        from raytracingengine_tpu.geometry.intersect import flatten_scene as _fs
+
+        pw, ph = tile_layout(_fs(scene).n_triangles)[1]
+        # Round-robin patch deal across shards: a contiguous split of
+        # the patch-major order would hand each shard a horizontal band,
+        # whose live-bounce work differs several-x between sky and
+        # geometry (load_balance.py: 0.49 efficiency ceiling at 4K).
+        perm, inv_perm = _swizzle_perm(
+            camera.width, camera.height, pw, ph, round_robin=n_ray
+        )
         px, py = px[perm], py[perm]
     # Local chunking keeps per-chip memory bounded; pad to n_ray * chunk.
     local = -(-r // n_ray)

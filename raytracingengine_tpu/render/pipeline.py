@@ -30,7 +30,13 @@ from raytracingengine_tpu.scene import Scene
 
 
 @functools.lru_cache(maxsize=None)
-def _swizzle_perm(width: int, height: int, pw: int = 128, ph: int = 64):
+def _swizzle_perm(
+    width: int,
+    height: int,
+    pw: int = 128,
+    ph: int = 64,
+    round_robin: int | None = None,
+):
     """Patch-swizzled pixel order for the fused kernels.
 
     Row-major pixel order hands each [SUB=64, LANE=128]-ray kernel tile a
@@ -46,6 +52,17 @@ def _swizzle_perm(width: int, height: int, pw: int = 128, ph: int = 64):
     Static per (width, height) — computed once in numpy, constant-folded
     under jit.
 
+    With `round_robin=n`, patches are dealt round-robin into n runs
+    (run s holds patches s, s+n, s+2n, ... in patch-raster order) before
+    concatenation. The sharded renderer passes its shard count here so a
+    contiguous ray split hands each shard an interleaved sample of the
+    image instead of a horizontal band: live-bounce work varies several-x
+    between sky bands and geometry bands (profiling/load_balance.py
+    measured a 0.49 efficiency ceiling for banded assignment on the 4K
+    stress scene vs 0.91 round-robin — the static-schedule answer to the
+    reference's `schedule(dynamic)`, Scene.h:318-320). Per-tile pixel
+    order is unchanged, so kernel tiles keep their compact patches.
+
     Returns (perm, inv): new_idx -> old flat pixel idx, and its inverse.
     """
     idx = np.arange(width * height, dtype=np.int32).reshape(height, width)
@@ -54,6 +71,12 @@ def _swizzle_perm(width: int, height: int, pw: int = 128, ph: int = 64):
         for y0 in range(0, height, ph)
         for x0 in range(0, width, pw)
     ]
+    if round_robin is not None and round_robin > 1 and patches:
+        patches = [
+            patches[p]
+            for s in range(round_robin)
+            for p in range(s, len(patches), round_robin)
+        ]
     perm = np.concatenate(patches) if patches else idx.ravel()
     inv = np.argsort(perm).astype(np.int32)
     return perm, inv
@@ -242,7 +265,10 @@ def render_hdr(
     # the PIXEL, not to where chunking/swizzling placed it (_pixel_jitter).
     pids = np.arange(r, dtype=np.int32)
     if swizzle:
-        perm, inv_perm = _swizzle_perm(camera.width, camera.height)
+        from raytracingengine_tpu.kernels.chain_trace import tile_layout
+
+        pw, ph = tile_layout(flat.n_triangles)[1]
+        perm, inv_perm = _swizzle_perm(camera.width, camera.height, pw, ph)
         px, py = px[perm], py[perm]
         pids = pids[perm]
     pids = jnp.asarray(pids)

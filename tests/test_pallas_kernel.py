@@ -114,44 +114,94 @@ def test_dense_mesh_beyond_old_prim_cap():
     _parity(scene, camera)
 
 
-def test_dense_mesh_grad_falls_back_to_xla():
-    # Differentiating a dense-mesh render must NOT build the unrolled
-    # adjoint kernel (compile time is linear in primitive count); the
-    # custom_vjp backward falls back to XLA autodiff and still produces
-    # the XLA path's gradients.
+def test_dense_mesh_grads_use_blocked_adjoint_kernel():
+    # Differentiating a dense-mesh render must use the BLOCKED adjoint
+    # kernel (VERDICT r03 task #1: fused backward past the 512-prim
+    # unroll cap) — not the unrolled kernel (whose compile time is
+    # linear in primitive count) and not the XLA fallback — and its
+    # gradients must match XLA autodiff of the chain integrator.
     from raytracingengine_tpu.kernels import chain_grad as cg
     from raytracingengine_tpu.scenes.builders import dense_mesh_scene
 
     scene, camera = dense_mesh_scene(width=8, height=8, spp=1, ni=16, nj=36)
     flat = flatten_scene(scene)
-    assert flat.n_primitives > cg.MAX_PRIMS_GRAD
+    assert cg._MAX_PRIMS_UNROLL < flat.n_primitives <= cg.MAX_PRIMS_GRAD
     o, d = camera.rays_for_pixels(*camera.pixel_grid())
 
-    called = {"n": 0}
-    orig = cg.chain_grad_pallas
+    called = {"unrolled": 0, "blocked": 0}
+    orig_u, orig_b = cg.chain_grad_pallas, cg.chain_grad_pallas_blocked
 
-    def spy(*a, **k):
-        called["n"] += 1
-        return orig(*a, **k)
+    def spy_u(*a, **k):
+        called["unrolled"] += 1
+        return orig_u(*a, **k)
 
-    cg.chain_grad_pallas = spy
+    def spy_b(*a, **k):
+        called["blocked"] += 1
+        return orig_b(*a, **k)
+
+    # Gradients are compared at SCENE level (grad w.r.t. the Scene
+    # pytree through flatten_scene): FlatScene carries redundant
+    # parameterizations of the same geometry (v0/e1/e2 + nunit vs
+    # ngeo/k) and the kernel and XLA pull back to different ones; the
+    # chain rule through flatten_scene reconciles them (round-2 finding,
+    # commit d4a1261).
+    cg.chain_grad_pallas = spy_u
+    cg.chain_grad_pallas_blocked = spy_b
     try:
         gk = jax.grad(
-            lambda fl: jnp.sum(cg.chain_trace_fused(fl, o, d, CFG) ** 2),
+            lambda s: jnp.sum(
+                cg.chain_trace_fused(flatten_scene(s), o, d, CFG) ** 2
+            ),
             allow_int=True,
-        )(flat)
+        )(scene)
     finally:
-        cg.chain_grad_pallas = orig
-    assert called["n"] == 0, "unrolled adjoint kernel must not run for dense meshes"
+        cg.chain_grad_pallas = orig_u
+        cg.chain_grad_pallas_blocked = orig_b
+    assert called == {"unrolled": 0, "blocked": 1}, called
     gx = jax.grad(
-        lambda fl: jnp.sum(integrate_chain(fl, o, d, CFG) ** 2),
+        lambda s: jnp.sum(integrate_chain(flatten_scene(s), o, d, CFG) ** 2),
         allow_int=True,
-    )(flat)
-    for a, b in zip(jax.tree.leaves(gk), jax.tree.leaves(gx)):
+    )(scene)
+    _assert_scene_grads_close(gk, gx)
+
+
+def _assert_scene_grads_close(gk, gx, rtol=2e-3, atol=2e-4):
+    for (path, a), b in zip(
+        jax.tree_util.tree_flatten_with_path(gk)[0], jax.tree.leaves(gx)
+    ):
         a, b = np.asarray(a), np.asarray(b)
-        if not np.issubdtype(a.dtype, np.floating):
+        if not np.issubdtype(a.dtype, np.floating) or b.size == 0:
             continue
-        np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-4)
+        scale = np.abs(b).max() + 1e-6
+        np.testing.assert_allclose(
+            a, b, rtol=rtol, atol=atol + 1e-3 * scale,
+            err_msg=jax.tree_util.keystr(path),
+        )
+
+
+def test_scrambled_dense_mesh_grads_match_xla():
+    # Same gate under a worst-case authoring order: the blocked adjoint
+    # accumulates triangle cotangents in SCAN order (spatially reordered
+    # tables) and must scatter them back to authoring order exactly.
+    from raytracingengine_tpu.kernels import chain_grad as cg
+    from raytracingengine_tpu.scenes.builders import dense_mesh_scene
+
+    scene, camera = dense_mesh_scene(
+        width=8, height=8, spp=1, ni=16, nj=36, scramble=3
+    )
+    assert flatten_scene(scene).n_primitives > cg._MAX_PRIMS_UNROLL
+    o, d = camera.rays_for_pixels(*camera.pixel_grid())
+    gk = jax.grad(
+        lambda s: jnp.sum(
+            cg.chain_trace_fused(flatten_scene(s), o, d, CFG) ** 2
+        ),
+        allow_int=True,
+    )(scene)
+    gx = jax.grad(
+        lambda s: jnp.sum(integrate_chain(flatten_scene(s), o, d, CFG) ** 2),
+        allow_int=True,
+    )(scene)
+    _assert_scene_grads_close(gk, gx)
 
 
 def test_aabb_culling_all_blocks_missed():
@@ -190,8 +240,8 @@ def test_pack_tri_aabbs_shapes_and_padding():
     scene_p, _ = head_box_scene(width=8, height=8, spp=1, pad_multiple=1024)
     flat_p = flatten_scene(scene_p)
     aabb_p = np.asarray(ct.pack_tri_aabbs(flat_p))
-    assert aabb_p.shape == (6, 4)  # 1024 padded tris / 256
-    # blocks 1..3 are all-padding -> far point boxes
+    assert aabb_p.shape == (6, 1024 // ct.TRI_BLOCK)
+    # blocks 1.. are all-padding -> far point boxes
     assert (aabb_p[:, 1:] > 1e37).all()
 
 def test_reorder_perms_valid_and_adaptive_choice_never_worse():
@@ -210,7 +260,19 @@ def test_reorder_perms_valid_and_adaptive_choice_never_worse():
 
     sa_auth = float(ct._block_sa_sum(ct.pack_tri_aabbs(flat)))
     _, _, _, taabb, _, _ = ct.pack_forward_tables(flat)
-    assert float(ct._block_sa_sum(taabb)) <= sa_auth * (1 + 1e-6)
+    # taabb's tail columns are treelet-group boxes (pack_group_aabbs);
+    # SA comparisons are over the block level only.
+    n_blocks = ct.n_culling_blocks(nt)
+    assert float(ct._block_sa_sum(taabb[:, :n_blocks])) <= sa_auth * (1 + 1e-6)
+    # Group columns bound their blocks.
+    groups = np.asarray(taabb[:, n_blocks:])
+    blocks = np.asarray(taabb[:, :n_blocks])
+    for g in range(groups.shape[1]):
+        blk = blocks[:, g * ct.TRI_GROUP : (g + 1) * ct.TRI_GROUP]
+        real = blk[0] < 1e37
+        if real.any():
+            assert (groups[:3, g][:, None] <= blk[:3, real] + 1e-5).all()
+            assert (groups[3:, g][:, None] >= blk[3:, real] - 1e-5).all()
 
 
 def test_scrambled_mesh_reorder_restores_compact_blocks():
@@ -237,7 +299,8 @@ def test_scrambled_mesh_reorder_restores_compact_blocks():
     )
     sa_scrambled = float(ct._block_sa_sum(ct.pack_tri_aabbs(flat_s)))
     _, _, _, taabb, _, _ = ct.pack_forward_tables(flat_s)
-    sa_chosen = float(ct._block_sa_sum(taabb))
+    n_blocks = ct.n_culling_blocks(flat_s.n_triangles)
+    sa_chosen = float(ct._block_sa_sum(taabb[:, :n_blocks]))
     assert sa_chosen < 0.5 * sa_scrambled, (sa_chosen, sa_scrambled)
 
 
@@ -314,6 +377,29 @@ def test_swizzle_perm_roundtrip_and_patches():
     first = perm[: 128 * 64]
     ys, xs = first // 512, first % 512
     assert ys.max() == 63 and xs.max() == 127
+
+
+def test_swizzle_round_robin_deals_patches_across_shards():
+    # round_robin=n interleaves patches across n contiguous runs so each
+    # shard of a contiguous split samples the whole image, not one band
+    # (profiling/load_balance.py: banded assignment caps predicted
+    # scaling efficiency at 0.49 on the 4K stress scene).
+    from raytracingengine_tpu.render.pipeline import _swizzle_perm
+
+    w, h, n = 512, 512, 8
+    perm, inv = _swizzle_perm(w, h, round_robin=n)
+    assert sorted(perm.tolist()) == list(range(w * h))
+    assert (perm[inv] == np.arange(w * h)).all()
+    # Patches stay intact (first tile is SOME 128x64 rectangle)...
+    first = perm[: 128 * 64]
+    ys, xs = first // w, first % w
+    assert ys.max() - ys.min() == 63 and xs.max() - xs.min() == 127
+    # ...and each 1/n contiguous run (one shard) touches rows from both
+    # the top and bottom halves of the image.
+    run = w * h // n
+    for s in range(n):
+        rows = perm[s * run : (s + 1) * run] // w
+        assert rows.min() < h // 4 and rows.max() >= 3 * h // 4
 
 
 def test_swizzled_render_bit_identical_to_rowmajor_kernel():
