@@ -317,6 +317,31 @@ def test_scrambled_dense_mesh_kernel_parity():
     _parity(scene, camera)
 
 
+def test_front_to_back_block_order_is_result_identical():
+    # The forward kernel sorts treelet groups / blocks front-to-back
+    # along the mean ray direction (pack_forward_tables_perm dmean) —
+    # visit order must NEVER change the image: the closest-hit update is
+    # a lexicographic (t, original-index) min. Compare the kernel
+    # (dmean active inside chain_trace_pallas) against the same kernel
+    # with the sort forced off, bit for bit.
+    from raytracingengine_tpu.kernels import chain_trace as ctm
+    from raytracingengine_tpu.scenes.builders import dense_mesh_scene
+
+    scene, camera = dense_mesh_scene(width=8, height=8, spp=1, ni=16, nj=36)
+    flat = flatten_scene(scene)
+    o, d = camera.rays_for_pixels(*camera.pixel_grid())
+    with_sort = np.asarray(ctm.chain_trace_pallas(flat, o, d, CFG))
+    orig = ctm.pack_forward_tables_perm
+    ctm.pack_forward_tables_perm = lambda fl, dmean=None, _o=orig: _o(
+        fl, dmean=None
+    )
+    try:
+        without = np.asarray(ctm.chain_trace_pallas(flat, o, d, CFG))
+    finally:
+        ctm.pack_forward_tables_perm = orig
+    np.testing.assert_array_equal(with_sort, without)
+
+
 def test_morton_perm_puts_inactive_triangles_last():
     scene, _ = head_box_scene(width=8, height=8, spp=1, pad_multiple=64)
     flat = flatten_scene(scene)

@@ -142,7 +142,44 @@ def main() -> int:
     check("wavefront_trace (glass, march)", wf(go, gd), gref, atol=1e-4)
     print(f"  compile+run {time.time() - t0:.1f}s", flush=True)
 
-    print(f"{4 - failures}/4 kernels PASS")
+    # Blocked adjoint kernel: dense-mesh (> _MAX_PRIMS_UNROLL) training
+    # grads through chain_grad_pallas_blocked, vs XLA autodiff — at
+    # SCENE-parameter level (see the chain_grad note above).
+    from raytracingengine_tpu.kernels import chain_grad as cg
+    from raytracingengine_tpu.scenes.builders import dense_mesh_scene
+
+    dscene, dcam = dense_mesh_scene(width=32, height=32, spp=1, ni=16, nj=36)
+    dflat = flatten_scene(dscene)
+    assert dflat.n_primitives > cg._MAX_PRIMS_UNROLL
+    do_, dd_ = dcam.rays_for_pixels(*dcam.pixel_grid())
+    dparams, dstatic = partition(dscene)
+
+    def dloss_fused(p):
+        fl = flatten_scene(combine(p, dstatic))
+        return jnp.sum(chain_trace_fused(fl, do_, dd_, cfg) ** 2)
+
+    def dloss_xla(p):
+        fl = flatten_scene(combine(p, dstatic))
+        return jnp.sum(integrate_chain(fl, do_, dd_, cfg) ** 2)
+
+    t0 = time.time()
+    dg_f = jax.jit(jax.grad(dloss_fused))(dparams)
+    dg_r = jax.jit(jax.grad(dloss_xla))(dparams)
+    dl_f = [x for x in jax.tree.leaves(dg_f) if x.size]
+    dl_r = [x for x in jax.tree.leaves(dg_r) if x.size]
+    rel = max(
+        float(jnp.max(jnp.abs(a - b)) / (jnp.max(jnp.abs(b)) + 1e-6))
+        for a, b in zip(dl_f, dl_r)
+    )
+    finite = all(bool(jnp.isfinite(a).all()) for a in dl_f)
+    grad_l1 = sum(float(jnp.sum(jnp.abs(a))) for a in dl_f)
+    ok = finite and rel < 5e-2 and grad_l1 > 0.0
+    print(f"{'PASS' if ok else 'FAIL'} chain_grad_blocked (dense bwd) "
+          f"(max|diff|={rel:.2e}, grad_l1={grad_l1:.3e})", flush=True)
+    failures += 0 if ok else 1
+    print(f"  compile+run {time.time() - t0:.1f}s", flush=True)
+
+    print(f"{5 - failures}/5 kernels PASS")
     return 1 if failures else 0
 
 
