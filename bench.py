@@ -243,8 +243,15 @@ def main() -> None:
     # VERDICT r03 task #1: the fused backward now covers dense meshes
     # (chain_grad_pallas_blocked — per-depth shade-vjp + winner-masked
     # per-block hit pullback). This line is the first recorded number
-    # for training a >512-primitive scene on-chip.
-    do_, dd_ = dc.rays_for_pixels(*dc.pixel_grid())
+    # for training a >512-primitive scene on-chip. Rays are patch-
+    # swizzled like the render pipeline's (row-major order hands each
+    # kernel tile a 512x2 strip — device-profiled 3x slower scans).
+    from raytracingengine_tpu.kernels.chain_trace import tile_layout as _tl
+    from raytracingengine_tpu.render.pipeline import _swizzle_perm as _sp
+
+    _dpx, _dpy = dc.pixel_grid()
+    _dperm, _ = _sp(512, 512, *_tl(flatten_scene(ds).n_triangles)[1])
+    do_, dd_ = dc.rays_for_pixels(_dpx[_dperm], _dpy[_dperm])
     d_params, d_static = partition(ds)
 
     def dense_loss(p):
