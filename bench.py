@@ -134,206 +134,222 @@ def main() -> None:
         f"{rays_1080/dt1/1e6:.2f} Mrays/s (incl. ~28 ms tunnel overhead)")
     detail["train_step_single_ms"] = round(dt1 * 1e3, 2)
 
-    # ---- forward render @1080p spp=8 (production path) ----
-    scene, camera = head_box_scene(width=width, height=height, spp=8)
-    cfg = RenderConfig(shadow_mode="binary", use_pallas=True,
-                       chunk_size=rays_1080)
-    fwd = jax.jit(lambda s: jnp.sum(render_hdr(s, camera, cfg)))
-    dt = timed(lambda: fwd(scene), label="forward spp=8 @1080p")
-    log(f"forward: {dt*1e3/8:.1f} ms/frame -> {rays_1080*8/dt/1e6:.1f} Mrays/s")
-    detail["forward_1080p_mrays_s"] = round(rays_1080 * 8 / dt / 1e6, 1)
-
-    # ---- config #1: the reference's own 32-spp 1000x1000 workload ----
-    s32, c32 = head_box_scene(width=1000, height=1000, spp=32)
-    cfg32 = RenderConfig(shadow_mode="binary", use_pallas=True,
-                         chunk_size=1000 * 1000)
-    f32 = jax.jit(lambda s: jnp.sum(render_hdr(s, c32, cfg32)))
-    dt = timed(lambda: f32(s32), label="spp=32 1000x1000 (in-kernel AA)")
-    detail["spp32_1000_mrays_s"] = round(1000 * 1000 * 32 / dt / 1e6, 1)
-    log(f"spp=32 AA: {dt*1e3:.0f} ms/image -> "
-        f"{detail['spp32_1000_mrays_s']} Mrays/s")
-
-    # ---- config #2 domain: glass @1080p through the wavefront kernel ----
-    gs, gc = glass_sphere_scene(width=width, height=height, spp=1)
-    gcfg = RenderConfig(use_pallas=True, chunk_size=rays_1080)  # march shadows
-    gfwd = jax.jit(lambda s: jnp.sum(render_hdr(s, gc, gcfg)))
-    dt = timed(lambda: gfwd(gs), label="glass @1080p (wavefront kernel)")
-    detail["glass_1080p_mrays_s"] = round(rays_1080 / dt / 1e6, 1)
-    log(f"glass: {dt*1e3:.1f} ms/frame -> {detail['glass_1080p_mrays_s']} Mrays/s")
-
-    # ---- glass TRAINING: value_and_grad through the wavefront path ----
-    # The backward engine here is XLA autodiff of the wavefront
-    # integrator (wavefront_trace._wavefront_bwd — the fused kernel is
-    # forward-only), so this line prices the documented engine swap
-    # rather than hiding it (VERDICT r03 task #3). 512^2 rays: the
-    # fixed-trip differentiable replay materializes per-depth residuals,
-    # so 1080p would not fit HBM.
-    import warnings as _warnings
-
-    from raytracingengine_tpu.kernels.wavefront_trace import wavefront_trace
-
-    # 256^2 rays, budget 32: the differentiable replay's fixed-trip DFS
-    # autodiff is a multi-MB XLA program — the 512^2 budget-48 variant
-    # crashes this image's remote-compile helper outright (HTTP 500),
-    # which is itself a datum about this backward's cost.
+    # A failed secondary line must never cost the headline JSON (the
+    # 512^2 glass-train compile once crashed the remote-compile helper
+    # outright): one guard around everything after the headline.
     try:
-        gts, gtc = glass_sphere_scene(width=256, height=256, spp=1)
-        gto, gtd = gtc.rays_for_pixels(*gtc.pixel_grid())
-        gt_cfg = RenderConfig(wavefront_budget=32)
-        gt_params, gt_static = partition(gts)
+        # ---- forward render @1080p spp=8 (production path) ----
+        scene, camera = head_box_scene(width=width, height=height, spp=8)
+        cfg = RenderConfig(shadow_mode="binary", use_pallas=True,
+                           chunk_size=rays_1080)
+        fwd = jax.jit(lambda s: jnp.sum(render_hdr(s, camera, cfg)))
+        dt = timed(lambda: fwd(scene), label="forward spp=8 @1080p")
+        log(f"forward: {dt*1e3/8:.1f} ms/frame -> {rays_1080*8/dt/1e6:.1f} Mrays/s")
+        detail["forward_1080p_mrays_s"] = round(rays_1080 * 8 / dt / 1e6, 1)
 
-        def glass_loss(p):
-            fl = flatten_scene(combine(p, gt_static))
-            img = wavefront_trace(fl, gto, gtd, gt_cfg)
+        # ---- config #1: the reference's own 32-spp 1000x1000 workload ----
+        s32, c32 = head_box_scene(width=1000, height=1000, spp=32)
+        cfg32 = RenderConfig(shadow_mode="binary", use_pallas=True,
+                             chunk_size=1000 * 1000)
+        f32 = jax.jit(lambda s: jnp.sum(render_hdr(s, c32, cfg32)))
+        dt = timed(lambda: f32(s32), label="spp=32 1000x1000 (in-kernel AA)")
+        detail["spp32_1000_mrays_s"] = round(1000 * 1000 * 32 / dt / 1e6, 1)
+        log(f"spp=32 AA: {dt*1e3:.0f} ms/image -> "
+            f"{detail['spp32_1000_mrays_s']} Mrays/s")
+
+        # ---- config #2 domain: glass @1080p through the wavefront kernel ----
+        gs, gc = glass_sphere_scene(width=width, height=height, spp=1)
+        gcfg = RenderConfig(use_pallas=True, chunk_size=rays_1080)  # march shadows
+        gfwd = jax.jit(lambda s: jnp.sum(render_hdr(s, gc, gcfg)))
+        dt = timed(lambda: gfwd(gs), label="glass @1080p (wavefront kernel)")
+        detail["glass_1080p_mrays_s"] = round(rays_1080 / dt / 1e6, 1)
+        log(f"glass: {dt*1e3:.1f} ms/frame -> {detail['glass_1080p_mrays_s']} Mrays/s")
+
+        # ---- glass TRAINING: value_and_grad through the wavefront path ----
+        # The backward engine here is XLA autodiff of the wavefront
+        # integrator (wavefront_trace._wavefront_bwd — the fused kernel is
+        # forward-only), so this line prices the documented engine swap
+        # rather than hiding it (VERDICT r03 task #3). 512^2 rays: the
+        # fixed-trip differentiable replay materializes per-depth residuals,
+        # so 1080p would not fit HBM.
+        import warnings as _warnings
+
+        from raytracingengine_tpu.kernels.wavefront_trace import wavefront_trace
+
+        # 256^2 rays, budget 32: the differentiable replay's fixed-trip DFS
+        # autodiff is a multi-MB XLA program — the 512^2 budget-48 variant
+        # crashes this image's remote-compile helper outright (HTTP 500),
+        # which is itself a datum about this backward's cost.
+        try:
+            gts, gtc = glass_sphere_scene(width=256, height=256, spp=1)
+            gto, gtd = gtc.rays_for_pixels(*gtc.pixel_grid())
+            gt_cfg = RenderConfig(wavefront_budget=32)
+            gt_params, gt_static = partition(gts)
+
+            def glass_loss(p):
+                fl = flatten_scene(combine(p, gt_static))
+                img = wavefront_trace(fl, gto, gtd, gt_cfg)
+                return jnp.mean(img * img)
+
+            ggf = jax.jit(jax.value_and_grad(glass_loss))
+            with _warnings.catch_warnings():
+                _warnings.simplefilter("ignore")  # engine-swap warning, priced here
+                dt = timed(lambda: ggf(gt_params)[0], label="glass fwd+bwd @256^2")
+            detail["glass_train_256_mrays_s"] = round(256 * 256 / dt / 1e6, 2)
+            detail["glass_train_backward_engine"] = "xla_autodiff_wavefront_replay"
+            log(f"glass fwd+bwd: {dt*1e3:.1f} ms/step -> "
+                f"{detail['glass_train_256_mrays_s']} Mrays/s (XLA-autodiff backward)")
+        except Exception as e:  # never lose the headline to this line
+            log(f"glass fwd+bwd bench failed: {e!r}")
+            detail["glass_train_256_mrays_s"] = None
+            detail["glass_train_backward_engine"] = "xla_autodiff_wavefront_replay"
+
+        # ---- config #5 single chip: 4K 64-sphere 4-light stress ----
+        # pad_multiple=None: the builder's default 128 exists for prim-axis
+        # sharding divisibility and would pad LIGHTS 4 -> 128, multiplying
+        # shadow work 32x.
+        ss, sc = stress_scene(n_spheres=64, n_lights=4, width=3840, height=2160,
+                              pad_multiple=None)
+        scfg = RenderConfig(shadow_mode="binary", use_pallas=True,
+                            chunk_size=3840 * 2160)
+        sfwd = jax.jit(lambda s: jnp.sum(render_hdr(s, sc, scfg)))
+        dt = timed(lambda: sfwd(ss), label="4K stress 64 spheres 4 lights")
+        detail["stress_4k_mrays_s"] = round(3840 * 2160 / dt / 1e6, 1)
+        log(f"4K stress: {dt*1e3:.1f} ms/frame -> {detail['stress_4k_mrays_s']} Mrays/s")
+
+        # ---- dense mesh: 6,016 triangles @512^2 ----
+        ds, dc = dense_mesh_scene(width=512, height=512, spp=1)
+        dcfg = RenderConfig(shadow_mode="binary", use_pallas=True,
+                            chunk_size=512 * 512)
+        dfwd = jax.jit(lambda s: jnp.sum(render_hdr(s, dc, dcfg)))
+        dt = timed(lambda: dfwd(ds), label="dense mesh 6016 tris @512^2")
+        detail["dense_mesh_512_mrays_s"] = round(512 * 512 / dt / 1e6, 2)
+        log(f"dense mesh: {dt*1e3:.1f} ms/frame -> "
+            f"{detail['dense_mesh_512_mrays_s']} Mrays/s "
+            f"(treelet scan, 6017 prims; single dispatch incl. ~28 ms tunnel)")
+
+        # ---- dense mesh, dispatch-amortized: spp=8 in one dispatch ----
+        # A single 512^2 dispatch is dominated by the ~28 ms tunnel
+        # round-trip (measured floor: a trivial jnp.sum dispatch costs the
+        # same 28 ms wall). The spp=8 render runs 8 sample passes inside ONE
+        # dispatch (in-kernel AA sampler), so its per-ray rate reflects
+        # device time the way a production multi-frame loop would.
+        ds8, dc8 = dense_mesh_scene(width=512, height=512, spp=8)
+        dfwd8 = jax.jit(lambda s: jnp.sum(render_hdr(s, dc8, dcfg)))
+        dt = timed(lambda: dfwd8(ds8), label="dense mesh spp=8 @512^2")
+        detail["dense_mesh_spp8_512_mrays_s"] = round(
+            512 * 512 * 8 / dt / 1e6, 2
+        )
+        log(f"dense mesh spp=8: {dt*1e3:.1f} ms -> "
+            f"{detail['dense_mesh_spp8_512_mrays_s']} Mrays/s (amortized)")
+
+        # ---- dense mesh TRAINING: fwd+bwd through the BLOCKED adjoint ----
+        # VERDICT r03 task #1: the fused backward now covers dense meshes
+        # (chain_grad_pallas_blocked — per-depth shade-vjp + winner-masked
+        # per-block hit pullback). This line is the first recorded number
+        # for training a >512-primitive scene on-chip. Rays are patch-
+        # swizzled like the render pipeline's (row-major order hands each
+        # kernel tile a 512x2 strip — device-profiled 3x slower scans).
+        from raytracingengine_tpu.kernels.chain_trace import tile_layout as _tl
+        from raytracingengine_tpu.render.pipeline import _swizzle_perm as _sp
+
+        _dpx, _dpy = dc.pixel_grid()
+        _dperm, _ = _sp(512, 512, *_tl(flatten_scene(ds).n_triangles)[1])
+        do_, dd_ = dc.rays_for_pixels(_dpx[_dperm], _dpy[_dperm])
+        d_params, d_static = partition(ds)
+
+        def dense_loss(p):
+            fl = flatten_scene(combine(p, d_static))
+            img = cg.chain_trace_fused(fl, do_, dd_, dcfg)
             return jnp.mean(img * img)
 
-        ggf = jax.jit(jax.value_and_grad(glass_loss))
-        with _warnings.catch_warnings():
-            _warnings.simplefilter("ignore")  # engine-swap warning, priced here
-            dt = timed(lambda: ggf(gt_params)[0], label="glass fwd+bwd @256^2")
-        detail["glass_train_256_mrays_s"] = round(256 * 256 / dt / 1e6, 2)
-        detail["glass_train_backward_engine"] = "xla_autodiff_wavefront_replay"
-        log(f"glass fwd+bwd: {dt*1e3:.1f} ms/step -> "
-            f"{detail['glass_train_256_mrays_s']} Mrays/s (XLA-autodiff backward)")
-    except Exception as e:  # never lose the headline to this line
-        log(f"glass fwd+bwd bench failed: {e!r}")
-        detail["glass_train_256_mrays_s"] = None
-        detail["glass_train_backward_engine"] = "xla_autodiff_wavefront_replay"
+        dgf = jax.jit(jax.value_and_grad(dense_loss))
+        dt = timed(lambda: dgf(d_params)[0], label="dense mesh fwd+bwd @512^2")
+        detail["dense_mesh_train_512_mrays_s"] = round(512 * 512 / dt / 1e6, 2)
+        log(f"dense mesh fwd+bwd: {dt*1e3:.1f} ms/step -> "
+            f"{detail['dense_mesh_train_512_mrays_s']} Mrays/s (blocked adjoint)")
 
-    # ---- config #5 single chip: 4K 64-sphere 4-light stress ----
-    # pad_multiple=None: the builder's default 128 exists for prim-axis
-    # sharding divisibility and would pad LIGHTS 4 -> 128, multiplying
-    # shadow work 32x.
-    ss, sc = stress_scene(n_spheres=64, n_lights=4, width=3840, height=2160,
-                          pad_multiple=None)
-    scfg = RenderConfig(shadow_mode="binary", use_pallas=True,
-                        chunk_size=3840 * 2160)
-    sfwd = jax.jit(lambda s: jnp.sum(render_hdr(s, sc, scfg)))
-    dt = timed(lambda: sfwd(ss), label="4K stress 64 spheres 4 lights")
-    detail["stress_4k_mrays_s"] = round(3840 * 2160 / dt / 1e6, 1)
-    log(f"4K stress: {dt*1e3:.1f} ms/frame -> {detail['stress_4k_mrays_s']} Mrays/s")
+        # ---- dense mesh, scan-amortized: 8 frames in one dispatch ----
+        # The single-dispatch line above cannot exceed 262144 rays / 28 ms
+        # = 9.4 Mrays/s even with ZERO device work (the tunnel's measured
+        # dispatch floor, PROFILE.md §4). A jitted 8-frame animation loop
+        # (tiny camera dolly per frame, lax.scan — the same shape as the
+        # headline's training loop) amortizes the dispatch like any real
+        # multi-frame workload and reflects device time.
+        from raytracingengine_tpu.kernels.chain_trace import (
+            chain_trace_pallas, tile_layout,
+        )
+        from raytracingengine_tpu.render.pipeline import _swizzle_perm
 
-    # ---- dense mesh: 6,016 triangles @512^2 ----
-    ds, dc = dense_mesh_scene(width=512, height=512, spp=1)
-    dcfg = RenderConfig(shadow_mode="binary", use_pallas=True,
-                        chunk_size=512 * 512)
-    dfwd = jax.jit(lambda s: jnp.sum(render_hdr(s, dc, dcfg)))
-    dt = timed(lambda: dfwd(ds), label="dense mesh 6016 tris @512^2")
-    detail["dense_mesh_512_mrays_s"] = round(512 * 512 / dt / 1e6, 2)
-    log(f"dense mesh: {dt*1e3:.1f} ms/frame -> "
-        f"{detail['dense_mesh_512_mrays_s']} Mrays/s "
-        f"(treelet scan, 6017 prims; single dispatch incl. ~28 ms tunnel)")
+        dflat = flatten_scene(ds)
+        dpx, dpy = dc.pixel_grid()
+        dperm, _ = _swizzle_perm(512, 512, *tile_layout(dflat.n_triangles)[1])
+        dso, dsd = dc.rays_for_pixels(dpx[dperm], dpy[dperm])
 
-    # ---- dense mesh, dispatch-amortized: spp=8 in one dispatch ----
-    # A single 512^2 dispatch is dominated by the ~28 ms tunnel
-    # round-trip (measured floor: a trivial jnp.sum dispatch costs the
-    # same 28 ms wall). The spp=8 render runs 8 sample passes inside ONE
-    # dispatch (in-kernel AA sampler), so its per-ray rate reflects
-    # device time the way a production multi-frame loop would.
-    ds8, dc8 = dense_mesh_scene(width=512, height=512, spp=8)
-    dfwd8 = jax.jit(lambda s: jnp.sum(render_hdr(s, dc8, dcfg)))
-    dt = timed(lambda: dfwd8(ds8), label="dense mesh spp=8 @512^2")
-    detail["dense_mesh_spp8_512_mrays_s"] = round(
-        512 * 512 * 8 / dt / 1e6, 2
-    )
-    log(f"dense mesh spp=8: {dt*1e3:.1f} ms -> "
-        f"{detail['dense_mesh_spp8_512_mrays_s']} Mrays/s (amortized)")
+        @jax.jit
+        def dense_frames(fl):
+            def frame(carry, i):
+                o_i = dso.at[:, 2].add(i * 1e-3)  # dolly: distinct frames
+                return carry + jnp.sum(
+                    chain_trace_pallas(fl, o_i, dsd, dcfg)
+                ), None
 
-    # ---- dense mesh TRAINING: fwd+bwd through the BLOCKED adjoint ----
-    # VERDICT r03 task #1: the fused backward now covers dense meshes
-    # (chain_grad_pallas_blocked — per-depth shade-vjp + winner-masked
-    # per-block hit pullback). This line is the first recorded number
-    # for training a >512-primitive scene on-chip. Rays are patch-
-    # swizzled like the render pipeline's (row-major order hands each
-    # kernel tile a 512x2 strip — device-profiled 3x slower scans).
-    from raytracingengine_tpu.kernels.chain_trace import tile_layout as _tl
-    from raytracingengine_tpu.render.pipeline import _swizzle_perm as _sp
+            acc, _ = jax.lax.scan(frame, 0.0, jnp.arange(8.0))
+            return acc
 
-    _dpx, _dpy = dc.pixel_grid()
-    _dperm, _ = _sp(512, 512, *_tl(flatten_scene(ds).n_triangles)[1])
-    do_, dd_ = dc.rays_for_pixels(_dpx[_dperm], _dpy[_dperm])
-    d_params, d_static = partition(ds)
+        dt = timed(lambda: dense_frames(dflat),
+                   label="dense mesh 8-frame scan loop @512^2")
+        detail["dense_mesh_scanloop_mrays_s"] = round(
+            512 * 512 * 8 / dt / 1e6, 2
+        )
+        log(f"dense mesh scan loop: {dt/8*1e3:.1f} ms/frame -> "
+            f"{detail['dense_mesh_scanloop_mrays_s']} Mrays/s (amortized)")
 
-    def dense_loss(p):
-        fl = flatten_scene(combine(p, d_static))
-        img = cg.chain_trace_fused(fl, do_, dd_, dcfg)
-        return jnp.mean(img * img)
+        # ---- dense mesh, worst-case authoring order (hash-order OBJ) ----
+        # Same geometry, triangle list randomly shuffled: block culling is
+        # useless in authoring order, so throughput here measures the
+        # adaptive spatial reorder (pack_forward_tables) doing its job.
+        ss2, _ = dense_mesh_scene(width=512, height=512, spp=1, scramble=7)
+        dt = timed(lambda: dfwd(ss2), label="dense mesh scrambled order")
+        detail["dense_mesh_scrambled_mrays_s"] = round(512 * 512 / dt / 1e6, 2)
+        log(f"dense mesh (scrambled OBJ order): {dt*1e3:.1f} ms/frame -> "
+            f"{detail['dense_mesh_scrambled_mrays_s']} Mrays/s")
 
-    dgf = jax.jit(jax.value_and_grad(dense_loss))
-    dt = timed(lambda: dgf(d_params)[0], label="dense mesh fwd+bwd @512^2")
-    detail["dense_mesh_train_512_mrays_s"] = round(512 * 512 / dt / 1e6, 2)
-    log(f"dense mesh fwd+bwd: {dt*1e3:.1f} ms/step -> "
-        f"{detail['dense_mesh_train_512_mrays_s']} Mrays/s (blocked adjoint)")
+        # ---- distribution composition: mesh-of-1 shard_map + kernels ----
+        try:
+            from raytracingengine_tpu.parallel.mesh import make_mesh
+            from raytracingengine_tpu.parallel.sharded import render_hdr_sharded
 
-    # ---- dense mesh, scan-amortized: 8 frames in one dispatch ----
-    # The single-dispatch line above cannot exceed 262144 rays / 28 ms
-    # = 9.4 Mrays/s even with ZERO device work (the tunnel's measured
-    # dispatch floor, PROFILE.md §4). A jitted 8-frame animation loop
-    # (tiny camera dolly per frame, lax.scan — the same shape as the
-    # headline's training loop) amortizes the dispatch like any real
-    # multi-frame workload and reflects device time.
-    from raytracingengine_tpu.kernels.chain_trace import (
-        chain_trace_pallas, tile_layout,
-    )
-    from raytracingengine_tpu.render.pipeline import _swizzle_perm
+            mesh = make_mesh(n_ray_shards=1)
+            mcfg = RenderConfig(shadow_mode="binary", use_pallas=True,
+                                chunk_size=rays_1080)
+            ms, mc = head_box_scene(width=width, height=height, spp=1)
+            mfwd = jax.jit(lambda s: jnp.sum(render_hdr_sharded(s, mc, mcfg, mesh)))
+            dt = timed(lambda: mfwd(ms), label="mesh-of-1 shard_map + kernels @1080p")
+            detail["sharded_mesh1_mrays_s"] = round(rays_1080 / dt / 1e6, 1)
+            log(f"mesh-of-1 + kernels: {dt*1e3:.1f} ms/frame -> "
+                f"{detail['sharded_mesh1_mrays_s']} Mrays/s")
+        except Exception as e:  # never lose the headline to the extra line
+            log(f"mesh-of-1 bench failed: {e!r}")
+            detail["sharded_mesh1_mrays_s"] = None
 
-    dflat = flatten_scene(ds)
-    dpx, dpy = dc.pixel_grid()
-    dperm, _ = _swizzle_perm(512, 512, *tile_layout(dflat.n_triangles)[1])
-    dso, dsd = dc.rays_for_pixels(dpx[dperm], dpy[dperm])
-
-    @jax.jit
-    def dense_frames(fl):
-        def frame(carry, i):
-            o_i = dso.at[:, 2].add(i * 1e-3)  # dolly: distinct frames
-            return carry + jnp.sum(
-                chain_trace_pallas(fl, o_i, dsd, dcfg)
-            ), None
-
-        acc, _ = jax.lax.scan(frame, 0.0, jnp.arange(8.0))
-        return acc
-
-    dt = timed(lambda: dense_frames(dflat),
-               label="dense mesh 8-frame scan loop @512^2")
-    detail["dense_mesh_scanloop_mrays_s"] = round(
-        512 * 512 * 8 / dt / 1e6, 2
-    )
-    log(f"dense mesh scan loop: {dt/8*1e3:.1f} ms/frame -> "
-        f"{detail['dense_mesh_scanloop_mrays_s']} Mrays/s (amortized)")
-
-    # ---- dense mesh, worst-case authoring order (hash-order OBJ) ----
-    # Same geometry, triangle list randomly shuffled: block culling is
-    # useless in authoring order, so throughput here measures the
-    # adaptive spatial reorder (pack_forward_tables) doing its job.
-    ss2, _ = dense_mesh_scene(width=512, height=512, spp=1, scramble=7)
-    dt = timed(lambda: dfwd(ss2), label="dense mesh scrambled order")
-    detail["dense_mesh_scrambled_mrays_s"] = round(512 * 512 / dt / 1e6, 2)
-    log(f"dense mesh (scrambled OBJ order): {dt*1e3:.1f} ms/frame -> "
-        f"{detail['dense_mesh_scrambled_mrays_s']} Mrays/s")
-
-    # ---- distribution composition: mesh-of-1 shard_map + kernels ----
-    try:
-        from raytracingengine_tpu.parallel.mesh import make_mesh
-        from raytracingengine_tpu.parallel.sharded import render_hdr_sharded
-
-        mesh = make_mesh(n_ray_shards=1)
-        mcfg = RenderConfig(shadow_mode="binary", use_pallas=True,
-                            chunk_size=rays_1080)
-        ms, mc = head_box_scene(width=width, height=height, spp=1)
-        mfwd = jax.jit(lambda s: jnp.sum(render_hdr_sharded(s, mc, mcfg, mesh)))
-        dt = timed(lambda: mfwd(ms), label="mesh-of-1 shard_map + kernels @1080p")
-        detail["sharded_mesh1_mrays_s"] = round(rays_1080 / dt / 1e6, 1)
-        log(f"mesh-of-1 + kernels: {dt*1e3:.1f} ms/frame -> "
-            f"{detail['sharded_mesh1_mrays_s']} Mrays/s")
-    except Exception as e:  # never lose the headline to the extra line
-        log(f"mesh-of-1 bench failed: {e!r}")
-        detail["sharded_mesh1_mrays_s"] = None
+    except Exception as e:
+        log(f"secondary bench sections aborted: {e!r}")
 
     detail["baseline_rays_s"] = _measured_baseline()
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "BENCH_DETAIL_r04.json")
+    # Merge over any previous record so an aborted secondary section
+    # can't erase numbers an earlier complete run already measured.
+    merged = {}
+    try:
+        with open(out) as f:
+            merged = json.load(f)
+    except Exception:
+        pass
+    merged.update(detail)
     with open(out, "w") as f:
-        json.dump(detail, f, indent=1)
+        json.dump(merged, f, indent=1)
     log(f"detail -> {out}")
 
     print(

@@ -180,6 +180,13 @@ def make_sharded_loss(static, cfg: RenderConfig, mesh: Mesh, mode: str = "chain"
 
     Returns loss(params, o, d, target) -> scalar mean-squared error;
     o/d/target lead with a ray axis divisible by mesh.shape[RAY_AXIS].
+
+    Ray ORDER matters for dense scenes: feed patch-swizzled rays
+    (pipeline._swizzle_perm with chain_trace.tile_layout's patch, the
+    order render_hdr uses) so each kernel tile sees a compact image
+    patch — row-major order hands tiles full-width strips and was
+    device-profiled ~2-3x slower on the 6k-triangle mesh (the swizzle is
+    a pure permutation, so the loss value is identical either way).
     """
     from raytracingengine_tpu.inverse import combine
     from raytracingengine_tpu.kernels.chain_grad import chain_trace_fused
