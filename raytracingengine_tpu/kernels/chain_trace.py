@@ -634,7 +634,7 @@ def _closest_hit(
 
 def _any_hit(
     sph, pl_, tri, ns, np_, nt, ox, oy, oz, dx, dy, dz, lo, hi,
-    taabb=None, interest=None, probe=None,
+    taabb=None, interest=None,
 ):
     """Binary occlusion: any primitive with lo < t < hi (per lane).
 
@@ -643,13 +643,10 @@ def _any_hit(
     legalize), so booleans are materialized as 0/1 floats in the carry.
     With `taabb`, triangle blocks outside every interested lane's shadow
     segment are skipped (same conservative test as _closest_hit).
-
-    `probe` (optional scalar block index) is scanned FIRST: shadow rays
-    start ON the surface, so their occluder is usually in the block
-    nearest the tile's hit centroid; finding those occlusions up front
-    drops the lanes from `interest`, letting the later group/block
-    tests skip far more. Occlusion accumulates monotonically, so the
-    (possible) re-scan of the probe block changes nothing.
+    (A nearest-block-first shadow probe was tried here and measured
+    device-neutral-to-negative on the dense mesh: the probe block gets
+    rescanned per light per bounce, and interest rarely collapses early
+    enough to pay for it.)
     """
     occ0 = jnp.zeros(ox.shape, jnp.float32)
     a_coef = dx * dx + dy * dy + dz * dz
@@ -741,8 +738,6 @@ def _any_hit(
                 occ,
             )
 
-        if probe is not None:
-            occ = blk_body(probe, occ)
         occ = jax.lax.fori_loop(0, n_groups, grp_body, occ)
     else:
         occ = jax.lax.fori_loop(0, nt, tri_body, occ)
@@ -825,36 +820,6 @@ def _trace_tile(
             soz = pz + nz * bias
             spec_on = spec > 0.0  # opaque kernel: transparency == 0
 
-            # Shadow probe block: the culling block nearest the tile's
-            # mean surface point gets scanned first in every shadow
-            # test this bounce (self-shadow occluders are local; see
-            # _any_hit's probe doc). Scalar argmin over block centroids
-            # from the SMEM table — noise next to one block scan.
-            probe = None
-            if taabb is not None and nt > TRI_BLOCK:
-                shade_f = shade.astype(jnp.float32)
-                cnt = jnp.maximum(jnp.sum(shade_f), 1.0)
-                cx_ = jnp.sum(sox * shade_f) / cnt
-                cy_ = jnp.sum(soy * shade_f) / cnt
-                cz_ = jnp.sum(soz * shade_f) / cnt
-
-                def pb_body(b, carry):
-                    best_d, best_b = carry
-                    bx = (taabb[0, b] + taabb[3, b]) * 0.5 - cx_
-                    by = (taabb[1, b] + taabb[4, b]) * 0.5 - cy_
-                    bz = (taabb[2, b] + taabb[5, b]) * 0.5 - cz_
-                    d2 = bx * bx + by * by + bz * bz
-                    better = d2 < best_d
-                    return (
-                        jnp.where(better, d2, best_d),
-                        jnp.where(better, b, best_b),
-                    )
-
-                _, probe = jax.lax.fori_loop(
-                    0, n_culling_blocks(nt), pb_body,
-                    (jnp.float32(_INF), jnp.int32(0)),
-                )
-
             def light_body(li, carry):
                 dr, dg, db, sr, sg, sb = carry
                 lx, ly, lz = light[0, li], light[1, li], light[2, li]
@@ -876,7 +841,7 @@ def _trace_tile(
                         sph, pl_, tri, ns, np_, nt,
                         sox, soy, soz, ldx, ldy, ldz,
                         jnp.full(shape, bias), dist - bias,
-                        taabb=taabb, interest=ok, probe=probe,
+                        taabb=taabb, interest=ok,
                     ).astype(jnp.float32)
 
                 occ_f = jax.lax.cond(
