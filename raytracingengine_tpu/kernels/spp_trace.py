@@ -111,9 +111,15 @@ def spp_trace_pallas(flat: FlatScene, camera, cfg, px, py, seed: int = 0):
 
     px/py are integer pixel coords [R]; spp comes from `camera.spp`.
     """
+    from raytracingengine_tpu.kernels.chain_trace import tile_layout
+
     r = px.shape[0]
-    n_tiles = -(-r // TILE)
-    pad = n_tiles * TILE - r
+    # Dense scenes use small tiles so per-tile culling sees a tight
+    # frustum — same layout contract as chain_trace_pallas.
+    sub, _ = tile_layout(flat.n_triangles)
+    tile = sub * LANE
+    n_tiles = -(-r // tile)
+    pad = n_tiles * tile - r
     dtype = camera.position.dtype
 
     # Base screen coords (Math.h:100-101): sx = x - w/2, sy = h/2 - y.
@@ -122,7 +128,7 @@ def spp_trace_pallas(flat: FlatScene, camera, cfg, px, py, seed: int = 0):
 
     def shape_lane(x):
         return (
-            jnp.pad(x, (0, pad)).reshape(n_tiles * SUB, LANE).astype(jnp.float32)
+            jnp.pad(x, (0, pad)).reshape(n_tiles * sub, LANE).astype(jnp.float32)
         )
 
     sx, sy = shape_lane(sx), shape_lane(sy)
@@ -145,7 +151,7 @@ def spp_trace_pallas(flat: FlatScene, camera, cfg, px, py, seed: int = 0):
     smem = lambda t: pl.BlockSpec(
         t.shape, lambda i, _nz=t.ndim: (0,) * _nz, memory_space=pltpu.SMEM
     )
-    lane_spec = pl.BlockSpec((SUB, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    lane_spec = pl.BlockSpec((sub, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM)
 
     out = pl.pallas_call(
         kernel,
@@ -155,7 +161,7 @@ def spp_trace_pallas(flat: FlatScene, camera, cfg, px, py, seed: int = 0):
         + [lane_spec, lane_spec, lane_spec],
         out_specs=(lane_spec,) * 3,
         out_shape=tuple(
-            jax.ShapeDtypeStruct((n_tiles * SUB, LANE), jnp.float32)
+            jax.ShapeDtypeStruct((n_tiles * sub, LANE), jnp.float32)
             for _ in range(3)
         ),
     )(seed_arr, cam, *tables, sx, sy, live)
