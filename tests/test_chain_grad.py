@@ -101,6 +101,40 @@ def test_ray_grads():
     assert err.max() < 2e-2 * scale, (err.max(), scale)
 
 
+def test_ray_grads_blocked_adjoint():
+    # Same gate for the BLOCKED adjoint (dense scenes past the unroll
+    # cap): the camera-ray cotangents come from a different code path
+    # (shade-vjp state cots + per-block (o, d) pullback accumulation)
+    # and must still match XLA autodiff.
+    from raytracingengine_tpu.scenes.builders import dense_mesh_scene
+
+    scene, camera = dense_mesh_scene(width=8, height=8, spp=1, ni=16, nj=36)
+    flat = flatten_scene(scene)
+    assert flat.n_primitives > cg._MAX_PRIMS_UNROLL
+    o, d = camera.rays_for_pixels(*camera.pixel_grid())
+    cfg = RenderConfig(shadow_mode="binary", max_depth=3)
+
+    gk = jax.grad(
+        lambda oo, dd: jnp.sum(cg.chain_trace_fused(flat, oo, dd, cfg) ** 2),
+        argnums=(0, 1),
+    )(o, d)
+    gx = jax.grad(
+        lambda oo, dd: jnp.sum(integrate_chain(flat, oo, dd, cfg) ** 2),
+        argnums=(0, 1),
+    )(o, d)
+    a_, b_ = np.asarray(gk[0]), np.asarray(gx[0])
+    np.testing.assert_allclose(a_, b_, atol=1e-4 * (np.abs(b_).max() + 1e-6))
+    # Direction grads up to the radial component (see test_ray_grads).
+    dk, dx_g = np.asarray(gk[1]), np.asarray(gx[1])
+    dn = np.asarray(d)
+    proj = lambda g: g - dn * np.sum(g * dn, axis=1, keepdims=True)
+    tk, tx = proj(dk), proj(dx_g)
+    scale = np.abs(tx).max() + 1e-6
+    err = np.abs(tk - tx)
+    assert np.quantile(err, 0.99) < 2e-3 * scale, np.quantile(err, 0.99)
+    assert err.max() < 2e-2 * scale, (err.max(), scale)
+
+
 def test_camera_grads_through_pipeline():
     """End-to-end: grad w.r.t. camera focal through render_hdr with the
     fused kernels enabled equals the XLA path."""
