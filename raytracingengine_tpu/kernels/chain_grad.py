@@ -830,11 +830,14 @@ def _make_shade_hit(nl, bias, min_weight):
 
 
 def _make_blocked_grad_kernel(
-    ns, np_, nt, nl, max_depth, bias, min_weight, nsb, npb, ntb, sub
+    ns, np_, nt, nl, max_depth, bias, min_weight, nsb, npb, ntb, nt_scan,
+    sub,
 ):
     """Blocked adjoint kernel factory. nsb/npb/ntb = pullback block
     counts per primitive type (tables are width-padded to block
-    multiples by the wrapper, so every block is full). `sub` = tile
+    multiples by the wrapper, so every block is full). `nt_scan` = the
+    triangle scan width (TRI_BLOCK-padded under culling), the range the
+    winner `pos` row can actually land in for triangles. `sub` = tile
     sublane count (tile_layout: DENSE_SUB for dense scenes, so the
     winner-block skip and culling see tight 32x32-pixel frusta)."""
     shade = _make_shade_hit(nl, bias, min_weight)
@@ -1005,19 +1008,30 @@ def _make_blocked_grad_kernel(
 
             mat_cots = (cot_ar, cot_ag, cot_ab, cot_sp, cot_sh, cot_tau)
 
-            def pull_block(table_ref, acc_ref, n_blocks, pos_base, n_par,
-                           prim_fn, car):
+            def pull_block(table_ref, acc_ref, n_blocks, pos_base, n_real,
+                           n_par, prim_fn, car):
                 """Generic per-type pullback: fori over full PBLK blocks,
                 each unrolled block vjp-ing `prim_fn` per primitive with
                 the winner-masked cotangent; geo cotangents land in
-                acc_ref[b], (o, d) cotangents add into `car`."""
+                acc_ref[b], (o, d) cotangents add into `car`.
+
+                `n_real` = the type's true scan width: block ranges are
+                PBLK-padded, so without the `< lim_f` clamps a block's
+                [base, base+PBLK) span would overlap the NEXT type's scan
+                positions whenever n_real isn't a PBLK multiple (e.g.
+                ns=1: sphere block covers pos 0..127, which contains
+                plane/triangle winners) and fire a padded-column vjp with
+                a nonzero mask — garbage (o, d) cotangents (ADVICE r04)."""
                 rows_n = n_par + 7
+                lim_f = jnp.float32(pos_base + n_real)
 
                 def blk(b, car):
                     base = b * PBLK
                     base_f = (pos_base + base).astype(jnp.float32)
                     in_blk = (
-                        (pos >= base_f) & (pos < base_f + PBLK) & shade_m
+                        (pos >= base_f)
+                        & (pos < jnp.minimum(base_f + PBLK, lim_f))
+                        & shade_m
                     )
 
                     def do():
@@ -1028,8 +1042,9 @@ def _make_blocked_grad_kernel(
                             params = tuple(
                                 table_ref[r, idx] for r in range(n_par)
                             )
+                            slot_ok = base_f + j < lim_f
                             mask = jnp.where(
-                                pos == base_f + j, 1.0, 0.0
+                                (pos == base_f + j) & slot_ok, 1.0, 0.0
                             ) * shade_m.astype(jnp.float32)
                             _, vjpf = jax.vjp(
                                 prim_fn, *params, ox, oy, oz, dx, dy, dz
@@ -1068,15 +1083,16 @@ def _make_blocked_grad_kernel(
             car = (gox, goy, goz, gdx, gdy, gdz)
             if ns:
                 car = pull_block(
-                    sph_ref, gsph_ref, nsb, 0, 4, _sphere_tn_prim, car
+                    sph_ref, gsph_ref, nsb, 0, ns, 4, _sphere_tn_prim, car
                 )
             if np_:
                 car = pull_block(
-                    pl_ref, gpl_ref, npb, ns, 4, _plane_tn_prim, car
+                    pl_ref, gpl_ref, npb, ns, np_, 4, _plane_tn_prim, car
                 )
             if nt:
                 car = pull_block(
-                    tri_ref, gtri_ref, ntb, ns + np_, 12, _tri_tn_prim, car
+                    tri_ref, gtri_ref, ntb, ns + np_, nt_scan, 12,
+                    _tri_tn_prim, car
                 )
             gox, goy, goz, gdx, gdy, gdz = car
 
@@ -1128,10 +1144,16 @@ def chain_grad_pallas_blocked(flat: FlatScene, o, d, gbar, cfg):
     (table cotangents in pack_scene_tables shapes, d_origins, d_dirs).
     Covers every scene the fused FORWARD covers (chain_trace.MAX_PRIMS);
     compile time is primitive-count independent."""
-    from raytracingengine_tpu.kernels.chain_trace import tile_layout
+    from raytracingengine_tpu.kernels.chain_trace import DENSE_SUB
 
     r = o.shape[0]
-    sub, _ = tile_layout(flat.n_triangles)
+    # Always DENSE_SUB tiles: the checkpoint scratch is
+    # [max_depth, 8, sub, LANE] fp32, so sub = 64 (the small-scene tile)
+    # would cost ~8.4 MB of VMEM at max_depth = 16 — a regime nothing
+    # exercises (ADVICE r04). sub = 8 bounds it at ~1 MB and matches the
+    # dense-scene forward tiling; for sub-DENSE_TRI_THRESHOLD scenes the
+    # finer grid only changes per-tile accumulation order (fp noise).
+    sub = DENSE_SUB
     tile = sub * LANE
     n_tiles = -(-r // tile)
     pad = n_tiles * tile - r
@@ -1172,7 +1194,7 @@ def chain_grad_pallas_blocked(flat: FlatScene, o, d, gbar, cfg):
 
     kernel = _make_blocked_grad_kernel(
         ns, np_, nt, nl, cfg.max_depth, cfg.bias, cfg.min_weight,
-        nsb, npb, ntb, sub,
+        nsb, npb, ntb, tri13.shape[1], sub,
     )
 
     smem = lambda t: pl.BlockSpec(

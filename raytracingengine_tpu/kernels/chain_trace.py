@@ -568,7 +568,14 @@ def _closest_hit(
         one = jnp.ones_like(ox)
         if tie_gi:  # original global index (pack_forward_tables row 12)
             gi_f = tri[12, i]
-            gi = gi_f.astype(jnp.int32)
+            # Padded slots carry gi_f = 2^30 (loses every tie) — clamp
+            # the MATERIAL lookup to a valid column: they have a = 0 so
+            # hit is False and the loaded value is discarded, but the
+            # dynamic SMEM read itself must stay in bounds (OOB dynamic
+            # indexing is unspecified in Mosaic, ADVICE r04).
+            gi = jnp.minimum(
+                gi_f, jnp.float32(ns + np_ + nt - 1)
+            ).astype(jnp.int32)
         else:  # no reorder possible: scan position IS the global index
             gi_f = jnp.float32(0.0)
             gi = ns + np_ + i

@@ -216,3 +216,46 @@ def dense_mesh_scene(
         near=0.0, far=100.0, spp=spp, dtype=dtype,
     )
     return scene, camera
+
+
+def mixed_dense_scene(
+    width: int = 128,
+    height: int = 128,
+    spp: int = 1,
+    ni: int = 16,
+    nj: int = 36,
+    dtype=jnp.float32,
+) -> tuple[Scene, Camera]:
+    """Dense mesh PLUS spheres and a plane: every primitive type in one
+    blocked-adjoint-sized scene.
+
+    The blocked adjoint's per-type pullback blocks are PBLK-padded, so a
+    type whose count isn't a PBLK multiple (here: 2 spheres, 1 plane)
+    has block ranges overlapping the NEXT type's scan positions — the
+    exact configuration of the r04 advisor's high-severity finding. The
+    single-type dense_mesh_scene can never exercise it."""
+    from raytracingengine_tpu.scenes.assets import bumpy_sphere_mesh
+
+    b = SceneBuilder()
+    b.add_sphere(
+        (-3.2, -0.8, 6.0), 1.1,
+        Material(color=(0.2, 0.7, 0.3), specular=0.3, shininess=64.0),
+    )
+    b.add_sphere((3.1, 1.2, 7.0), 0.9, Material(color=(0.2, 0.3, 0.8)))
+    mesh_mat = Material(
+        color=(0.85, 0.35, 0.2), shininess=64.0, specular=0.25,
+        transparency=0.0, refractive_index=1.0,
+    )
+    verts, idx = bumpy_sphere_mesh(radius=2.0, ni=ni, nj=nj, amp=0.15)
+    b.add_model(verts, idx, mesh_mat, translation=(0.137, 0.5, 8.0))
+    b.add_plane(
+        (0.0, -2.5, 0.0), (0.0, 1.0, 0.0), Material(color=(0.9, 0.9, 0.9))
+    )
+    b.add_light((-4.0, 6.0, -2.0), (1, 1, 1), 120.0)
+    b.add_light((4.0, 5.0, 2.0), (1, 1, 1), 90.0)
+    scene = b.build(dtype=dtype)
+    camera = Camera.create(
+        (0, 0, -8), focal=float(width), width=width, height=height,
+        near=0.0, far=100.0, spp=spp, dtype=dtype,
+    )
+    return scene, camera

@@ -135,6 +135,24 @@ def test_ray_grads_blocked_adjoint():
     assert err.max() < 2e-2 * scale, (err.max(), scale)
 
 
+def test_mixed_scene_grads_blocked_adjoint():
+    # Regression for the r04 advisor's high finding: a type count that
+    # isn't a PBLK multiple (2 spheres, 1 plane) makes the sphere/plane
+    # pullback block ranges overlap the NEXT type's scan positions; the
+    # unclamped mask then fired a padded-column sphere vjp for mesh/plane
+    # winners and added garbage into the ray + table cotangents. Full
+    # scene-gradient parity vs XLA autodiff through the BLOCKED adjoint.
+    from raytracingengine_tpu.scenes.builders import mixed_dense_scene
+
+    scene, camera = mixed_dense_scene(width=8, height=8, spp=1)
+    flat = flatten_scene(scene)
+    assert flat.n_primitives > cg._MAX_PRIMS_UNROLL
+    assert flat.n_spheres % cg.PBLK != 0 and flat.n_spheres > 0
+    _compare_scene_grads(
+        scene, camera, RenderConfig(shadow_mode="binary", max_depth=3)
+    )
+
+
 def test_camera_grads_through_pipeline():
     """End-to-end: grad w.r.t. camera focal through render_hdr with the
     fused kernels enabled equals the XLA path."""
