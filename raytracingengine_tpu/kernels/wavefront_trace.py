@@ -64,6 +64,7 @@ from raytracingengine_tpu.kernels.chain_trace import (
     _block_hits_tile,
     _sky,
     pack_forward_tables,
+    pack_scene_tables,
 )
 
 
@@ -216,7 +217,13 @@ def _closest_hit_full(sph, pl_, tri, mat, ns, np_, nt, ox, oy, oz, dx, dy, dz,
         one = jnp.ones_like(ox)
         if tie_gi:  # original global index (pack_forward_tables row 12)
             gi_f = tri[12, i]
-            gi = gi_f.astype(jnp.int32)
+            # Clamp the MATERIAL lookup for padded slots (gi_f = 2^30,
+            # a = 0 so they never win; the load is discarded but must
+            # stay in bounds — OOB dynamic SMEM indexing is unspecified
+            # in Mosaic, ADVICE r04).
+            gi = jnp.minimum(
+                gi_f, jnp.float32(ns + np_ + nt - 1)
+            ).astype(jnp.int32)
         else:
             gi_f = jnp.float32(0.0)
             gi = ns + np_ + i
@@ -235,17 +242,24 @@ def _closest_hit_full(sph, pl_, tri, mat, ns, np_, nt, ox, oy, oz, dx, dy, dz,
 
 
 def _nearest_t_tau(sph, pl_, tri, mat, ns, np_, nt, ox, oy, oz, dx, dy, dz,
-                   taabb=None, interest=None):
-    """Reduced scan for the shadow march: (t, transparency) only."""
+                   taabb=None, interest=None, want_pos=False):
+    """Reduced scan for the shadow march: (t, transparency) only.
+
+    `want_pos=True` (the fused wavefront adjoint, wavefront_grad.py)
+    appends the winner's SCAN position (sphere i -> i, plane i -> ns+i,
+    triangle slot i -> ns+np_+i) so the march's transparency cotangent
+    can be pulled back to the crossed primitive."""
     shape = ox.shape
     tie_gi = nt > TRI_BLOCK
     rows = [jnp.full((1,) + shape, _INF), jnp.zeros((1,) + shape)]
     if tie_gi:
         rows.append(jnp.full((1,) + shape, _INF))  # best original index
+    if want_pos:
+        rows.append(jnp.full((1,) + shape, _INF))  # winner scan position
     carry = jnp.concatenate(rows, axis=0)
     a_coef = dx * dx + dy * dy + dz * dz
 
-    def upd(carry, t_new, hit, gi, gi_f):
+    def upd(carry, t_new, hit, gi, gi_f, pos_f):
         t = carry[0]
         if tie_gi:
             closer = hit & (
@@ -257,6 +271,8 @@ def _nearest_t_tau(sph, pl_, tri, mat, ns, np_, nt, ox, oy, oz, dx, dy, dz,
         fields = [t_new, mat[5, gi] * one]
         if tie_gi:
             fields.append(gi_f * one)
+        if want_pos:
+            fields.append(pos_f * one)
         return jnp.where(closer[None], jnp.stack(fields), carry)
 
     def sphere_body(i, carry):
@@ -272,7 +288,8 @@ def _nearest_t_tau(sph, pl_, tri, mat, ns, np_, nt, ox, oy, oz, dx, dy, dz,
         tt1 = (-b + sq) * inv2a
         t_new = jnp.where(tt0 >= EPS, tt0, tt1)
         return upd(
-            carry, t_new, ok & (t_new >= EPS), i, i.astype(jnp.float32)
+            carry, t_new, ok & (t_new >= EPS), i, i.astype(jnp.float32),
+            i.astype(jnp.float32),
         )
 
     def plane_body(i, carry):
@@ -283,7 +300,7 @@ def _nearest_t_tau(sph, pl_, tri, mat, ns, np_, nt, ox, oy, oz, dx, dy, dz,
         t_new = (pn - on) / jnp.where(ok, denom, 1.0)
         return upd(
             carry, t_new, ok & (t_new >= 0.0), ns + i,
-            (ns + i).astype(jnp.float32),
+            (ns + i).astype(jnp.float32), (ns + i).astype(jnp.float32),
         )
 
     def tri_body(i, carry):
@@ -309,11 +326,17 @@ def _nearest_t_tau(sph, pl_, tri, mat, ns, np_, nt, ox, oy, oz, dx, dy, dz,
         )
         if tie_gi:  # original global index (pack_forward_tables row 12)
             gi_f = tri[12, i]
-            gi = gi_f.astype(jnp.int32)
+            # In-bounds material lookup for padded slots (see
+            # _closest_hit_full; ADVICE r04).
+            gi = jnp.minimum(
+                gi_f, jnp.float32(ns + np_ + nt - 1)
+            ).astype(jnp.int32)
         else:
             gi_f = jnp.float32(0.0)
             gi = ns + np_ + i
-        return upd(carry, t_new, hit, gi, gi_f)
+        return upd(
+            carry, t_new, hit, gi, gi_f, (ns + np_ + i).astype(jnp.float32)
+        )
 
     carry = jax.lax.fori_loop(0, ns, sphere_body, carry)
     carry = jax.lax.fori_loop(0, np_, plane_body, carry)
@@ -322,6 +345,9 @@ def _nearest_t_tau(sph, pl_, tri, mat, ns, np_, nt, ox, oy, oz, dx, dy, dz,
         tri_body, nt, taabb, want, _INF, ox, oy, oz, dx, dy, dz, carry,
         t_hi_from_carry0=True,
     )
+    if want_pos:
+        p = 3 if tie_gi else 2
+        return carry[0], carry[1], carry[p]
     return carry[0], carry[1]
 
 
@@ -662,9 +688,26 @@ def _wavefront_fwd(flat, o, d, cfg):
 
 
 def _wavefront_bwd(cfg, res, g):
+    flat, o, d = res
+    from raytracingengine_tpu.kernels.chain_grad import _MAX_PRIMS_UNROLL
+
+    if flat.n_primitives <= _MAX_PRIMS_UNROLL and cfg.shadow_mode in (
+        "binary", "march"
+    ):
+        # Fused taped-DFS adjoint (kernels/wavefront_grad.py): the whole
+        # backward runs on-chip; table cotangents chain to FlatScene
+        # leaves through the (pure JAX) packing vjp, as in chain_grad.
+        from raytracingengine_tpu.kernels.wavefront_grad import (
+            wavefront_grad_pallas,
+        )
+
+        _, pack_vjp = jax.vjp(pack_scene_tables, flat)
+        table_cots, go, gd = wavefront_grad_pallas(flat, o, d, g, cfg)
+        (flat_cot,) = pack_vjp(tuple(table_cots))
+        return flat_cot, go, gd
+
     from raytracingengine_tpu.render.integrator import integrate_wavefront
 
-    flat, o, d = res
     # The backward engine differs from the forward kernel: be loud about
     # it (VERDICT r03 weak #2 / task #3 — no silent engine swaps). Glass
     # training throughput is recorded in BENCH_DETAIL under
