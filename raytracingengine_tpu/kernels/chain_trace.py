@@ -385,6 +385,58 @@ def pack_forward_tables_perm(flat: FlatScene, dmean=None):
     return (sph, pl_, tri13, taabb, mat, light), perm
 
 
+#: Rows of one streamed triangle block: 13 tri rows (v0, e1, e2, nunit,
+#: original index) + 7 material rows + 4 zero pad rows -> 24 = 3 full
+#: sublane tiles, the alignment DMA slices need.
+STREAM_ROWS = 24
+
+#: Triangle ceiling for the HBM-streamed scan (kernels DMA TRI_BLOCK
+#: windows per non-culled block; only the per-block AABBs stay SMEM).
+#: The bound is the SMEM AABB table + the adjoint's VMEM accumulators,
+#: not the stream itself.
+MAX_TRIS_STREAM = 131072
+
+
+def pack_streamed_tables(flat: FlatScene, dmean=None):
+    """Tables for the HBM-streamed kernels (triangles past MAX_PRIMS).
+
+    -> ((sph, pl_, mat_sp, light, taabb, stream), perm): sph/pl_/light
+    as in pack_scene_tables; `mat_sp` = the material table restricted to
+    sphere+plane columns (all that still needs SMEM residency);
+    `stream` = [n_blocks, STREAM_ROWS, TRI_BLOCK] — one DMA-ready window
+    per culling block carrying the 13 triangle rows PLUS each slot's 7
+    material rows (gathered by original index), so nothing per-triangle
+    is left in SMEM. Ordering/padding identical to
+    pack_forward_tables_perm, so results are bit-identical to the SMEM
+    scan."""
+    (sph, pl_, tri13, taabb, mat, light), perm = pack_forward_tables_perm(
+        flat, dmean=dmean
+    )
+    NT = tri13.shape[1]
+    n_blocks = -(-NT // TRI_BLOCK)
+    pad = n_blocks * TRI_BLOCK - NT
+    if pad:  # nt <= TRI_BLOCK never streams, but keep the math total
+        tri13 = jnp.pad(tri13, ((0, 0), (0, pad)))
+    gi = tri13[12]
+    idx = jnp.clip(gi, 0.0, float(max(flat.n_primitives - 1, 0))).astype(
+        jnp.int32
+    )
+    mat_cols = mat[:, idx]  # [7, NT]: per-slot materials ride the stream
+    rows = jnp.concatenate(
+        [tri13, mat_cols,
+         jnp.zeros((STREAM_ROWS - 20, tri13.shape[1]), jnp.float32)],
+        axis=0,
+    )
+    stream = rows.reshape(STREAM_ROWS, n_blocks, TRI_BLOCK).transpose(
+        1, 0, 2
+    )
+    nsp = max(flat.n_spheres + flat.n_planes, 1)
+    mat_sp = mat[:, :nsp] if mat.shape[1] >= nsp else jnp.zeros(
+        (7, 1), jnp.float32
+    )
+    return (sph, pl_, mat_sp, light, taabb, stream), perm
+
+
 def _block_hits_tile(aabb, b, ox, oy, oz, dx, dy, dz, interest, t_hi):
     """Conservative: does ANY interested lane's ray segment [0, t_hi]
     intersect block b's AABB? Slab method with sign-preserving clamp of
@@ -751,16 +803,247 @@ def _any_hit(
     return occ > 0.0
 
 
+def _tri_slot_math(win, j, ox, oy, oz, dx, dy, dz):
+    """Möller–Trumbore for streamed window slot j (STATIC index — the
+    whole TRI_BLOCK body is python-unrolled once and reused for every
+    block via the fori/cond around it). Returns (t_new, hit, n3)."""
+    v0x, v0y, v0z = win[0, j], win[1, j], win[2, j]
+    e1x, e1y, e1z = win[3, j], win[4, j], win[5, j]
+    e2x, e2y, e2z = win[6, j], win[7, j], win[8, j]
+    hx = dy * e2z - dz * e2y
+    hy = dz * e2x - dx * e2z
+    hz = dx * e2y - dy * e2x
+    a = e1x * hx + e1y * hy + e1z * hz
+    ok = jnp.abs(a) > EPS
+    f = 1.0 / jnp.where(ok, a, 1.0)
+    sx, sy, sz = ox - v0x, oy - v0y, oz - v0z
+    u = f * (sx * hx + sy * hy + sz * hz)
+    qx = sy * e1z - sz * e1y
+    qy = sz * e1x - sx * e1z
+    qz = sx * e1y - sy * e1x
+    v = f * (dx * qx + dy * qy + dz * qz)
+    t_new = f * (e2x * qx + e2y * qy + e2z * qz)
+    hit = (
+        ok & (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (u + v <= 1.0)
+        & (t_new > EPS)
+    )
+    return t_new, hit, (win[9, j], win[10, j], win[11, j])
+
+
+def _stream_tri_blocks(stream_ref, taabb, window, sem, nt, slot_fn,
+                       ox, oy, oz, dx, dy, dz, interest, carry,
+                       t_hi_from_carry0=True, t_hi=None):
+    """Group/block-culled loop over HBM-streamed triangle windows.
+
+    Mirrors the SMEM scan's two-level treelet structure exactly (same
+    `_block_hits_tile` conservativeness argument -> bit-identical
+    results); a surviving block costs one [STREAM_ROWS, TRI_BLOCK] DMA
+    (~12 KB) plus the unrolled 128-slot scan."""
+    n_blocks = n_culling_blocks(nt)
+
+    def blk_body(b, carry):
+        bound = carry[0] if t_hi_from_carry0 else t_hi
+        any_hit_blk = _block_hits_tile(
+            taabb, b, ox, oy, oz, dx, dy, dz, interest, bound
+        )
+
+        def do(c):
+            cp = pltpu.make_async_copy(stream_ref.at[b], window, sem)
+            cp.start()
+            cp.wait()
+            for j in range(TRI_BLOCK):
+                c = slot_fn(window, b, j, c)
+            return c
+
+        return jax.lax.cond(any_hit_blk, do, lambda c: c, carry)
+
+    n_groups = n_blocks // TRI_GROUP
+
+    def grp_body(g, carry):
+        bound = carry[0] if t_hi_from_carry0 else t_hi
+        hit_grp = _block_hits_tile(
+            taabb, n_blocks + g, ox, oy, oz, dx, dy, dz, interest, bound
+        )
+        lo_b = g * TRI_GROUP
+        hi_b = lo_b + TRI_GROUP
+        return jax.lax.cond(
+            hit_grp,
+            lambda c: jax.lax.fori_loop(lo_b, hi_b, blk_body, c),
+            lambda c: c,
+            carry,
+        )
+
+    return jax.lax.fori_loop(0, n_groups, grp_body, carry)
+
+
+def _closest_hit_streamed(
+    sph, pl_, mat_sp, stream_ref, taabb, window, sem,
+    ns, np_, nt, ox, oy, oz, dx, dy, dz, interest=None, want_pos=False,
+):
+    """_closest_hit semantics with the triangle table streamed from HBM
+    (scenes past MAX_PRIMS SMEM residency). Sphere/plane scans and the
+    carry layout are identical to the SMEM path; triangle materials are
+    read from the streamed window (rows 13..19), so SMEM holds only the
+    sphere+plane material columns (`mat_sp`)."""
+    shape = ox.shape
+    rows = [jnp.full((1,) + shape, _INF), jnp.zeros((8,) + shape),
+            jnp.full((1,) + shape, _INF)]  # best original index
+    if want_pos:
+        rows.append(jnp.full((1,) + shape, _INF))
+        rows.append(jnp.zeros((1,) + shape))
+    carry = jnp.concatenate(rows, axis=0)
+    a_coef = dx * dx + dy * dy + dz * dz
+
+    def upd(carry, t_new, hit, n3, matv, gi_f, pos_f):
+        t = carry[0]
+        closer = hit & ((t_new < t) | ((t_new == t) & (gi_f < carry[9])))
+        nxn, nyn, nzn = n3
+        one = jnp.ones(shape)
+        fields = [t_new, nxn * one, nyn * one, nzn * one] + [
+            m * one for m in matv[:5]
+        ] + [gi_f * one]
+        if want_pos:
+            fields.append(pos_f * one)
+            fields.append(matv[5] * one)
+        return jnp.where(closer[None], jnp.stack(fields), carry)
+
+    def sphere_body(i, carry):
+        cx, cy, cz, r2 = sph[0, i], sph[1, i], sph[2, i], sph[3, i]
+        ocx, ocy, ocz = ox - cx, oy - cy, oz - cz
+        b = 2.0 * (ocx * dx + ocy * dy + ocz * dz)
+        c = ocx * ocx + ocy * ocy + ocz * ocz - r2
+        disc = b * b - 4.0 * a_coef * c
+        ok = disc >= 0.0
+        sq = jnp.sqrt(jnp.where(ok, jnp.maximum(disc, 0.0), 0.0))
+        inv2a = 0.5 / a_coef
+        tt0 = (-b - sq) * inv2a
+        tt1 = (-b + sq) * inv2a
+        t_new = jnp.where(tt0 >= EPS, tt0, tt1)
+        hit = ok & (t_new >= EPS)
+        px = ox + dx * t_new
+        py = oy + dy * t_new
+        pz = oz + dz * t_new
+        gx, gy, gz = px - cx, py - cy, pz - cz
+        g2 = gx * gx + gy * gy + gz * gz
+        inv = jax.lax.rsqrt(jnp.maximum(g2, 1e-24))
+        matv = tuple(mat_sp[r, i] for r in range(6))
+        i_f = i.astype(jnp.float32)
+        return upd(
+            carry, t_new, hit, (gx * inv, gy * inv, gz * inv), matv,
+            i_f, i_f,
+        )
+
+    def plane_body(i, carry):
+        nx_, ny_, nz_, pn = pl_[0, i], pl_[1, i], pl_[2, i], pl_[3, i]
+        denom = dx * nx_ + dy * ny_ + dz * nz_
+        ok = jnp.abs(denom) > EPS
+        on = ox * nx_ + oy * ny_ + oz * nz_
+        t_new = (pn - on) / jnp.where(ok, denom, 1.0)
+        hit = ok & (t_new >= 0.0)
+        matv = tuple(mat_sp[r, ns + i] for r in range(6))
+        gi_f = (ns + i).astype(jnp.float32)
+        return upd(carry, t_new, hit, (nx_, ny_, nz_), matv, gi_f, gi_f)
+
+    def tri_slot(win, b, j, carry):
+        t_new, hit, n3 = _tri_slot_math(win, j, ox, oy, oz, dx, dy, dz)
+        matv = tuple(win[13 + r, j] for r in range(6))
+        gi_f = win[12, j]
+        pos_f = (
+            jnp.float32(ns + np_) + b.astype(jnp.float32) * TRI_BLOCK + j
+        )
+        return upd(carry, t_new, hit, n3, matv, gi_f, pos_f)
+
+    carry = jax.lax.fori_loop(0, ns, sphere_body, carry)
+    carry = jax.lax.fori_loop(0, np_, plane_body, carry)
+    want = interest if interest is not None else jnp.ones(shape) > 0.0
+    carry = _stream_tri_blocks(
+        stream_ref, taabb, window, sem, nt, tri_slot,
+        ox, oy, oz, dx, dy, dz, want, carry,
+    )
+    if want_pos:
+        return tuple(carry[i] for i in range(9)) + (carry[10], carry[11])
+    return tuple(carry[i] for i in range(9))
+
+
+def _any_hit_streamed(
+    sph, pl_, stream_ref, taabb, window, sem,
+    ns, np_, nt, ox, oy, oz, dx, dy, dz, lo, hi, interest=None,
+):
+    """_any_hit with HBM-streamed triangle blocks."""
+    occ0 = jnp.zeros(ox.shape, jnp.float32)
+    a_coef = dx * dx + dy * dy + dz * dz
+
+    def sphere_body(i, occ):
+        cx, cy, cz, r2 = sph[0, i], sph[1, i], sph[2, i], sph[3, i]
+        ocx, ocy, ocz = ox - cx, oy - cy, oz - cz
+        b = 2.0 * (ocx * dx + ocy * dy + ocz * dz)
+        c = ocx * ocx + ocy * ocy + ocz * ocz - r2
+        disc = b * b - 4.0 * a_coef * c
+        ok = disc >= 0.0
+        sq = jnp.sqrt(jnp.where(ok, jnp.maximum(disc, 0.0), 0.0))
+        inv2a = 0.5 / a_coef
+        tt0 = (-b - sq) * inv2a
+        tt1 = (-b + sq) * inv2a
+        t_new = jnp.where(tt0 >= EPS, tt0, tt1)
+        hit = ok & (t_new >= EPS)
+        blocked = hit & (t_new > lo) & (t_new < hi)
+        return jnp.maximum(occ, blocked.astype(jnp.float32))
+
+    def plane_body(i, occ):
+        nx_, ny_, nz_, pn = pl_[0, i], pl_[1, i], pl_[2, i], pl_[3, i]
+        denom = dx * nx_ + dy * ny_ + dz * nz_
+        ok = jnp.abs(denom) > EPS
+        on = ox * nx_ + oy * ny_ + oz * nz_
+        t_new = (pn - on) / jnp.where(ok, denom, 1.0)
+        hit = ok & (t_new >= 0.0)
+        blocked = hit & (t_new > lo) & (t_new < hi)
+        return jnp.maximum(occ, blocked.astype(jnp.float32))
+
+    def tri_slot(win, b, j, occ):
+        t_new, hit, _n3 = _tri_slot_math(win, j, ox, oy, oz, dx, dy, dz)
+        blocked = hit & (t_new > lo) & (t_new < hi)
+        return jnp.maximum(occ, blocked.astype(jnp.float32))
+
+    occ = jax.lax.fori_loop(0, ns, sphere_body, occ0)
+    occ = jax.lax.fori_loop(0, np_, plane_body, occ)
+    want = interest if interest is not None else jnp.ones(ox.shape) > 0.0
+    occ = _stream_tri_blocks(
+        stream_ref, taabb, window, sem, nt, tri_slot,
+        ox, oy, oz, dx, dy, dz, want & (occ == 0.0), occ,
+        t_hi_from_carry0=False, t_hi=hi,
+    )
+    return occ > 0.0
+
+
 def _trace_tile(
     sph, pl_, tri, mat, light, ns, np_, nt, nl, max_depth, bias,
     ox0, oy0, oz0, dx0, dy0, dz0, live0=None, min_weight=0.0, taabb=None,
+    closest_fn=None, any_fn=None,
 ):
     """Full Whitted chain for one [SUB, LANE] ray tile -> (r, g, b).
 
     Shared by the single-sample kernel and the in-kernel spp sampler.
     `live0` (0/1 float) marks valid lanes: padding lanes in the last
     partial tile start dead so they can never extend the whole-tile
-    early-exit depth loop (their outputs are discarded anyway)."""
+    early-exit depth loop (their outputs are discarded anyway).
+    `closest_fn(o..., d..., interest)` / `any_fn(o..., d..., lo, hi,
+    interest)` override the primitive scans — the HBM-streamed kernel
+    injects its windowed variants; default = the SMEM scans."""
+    if closest_fn is None:
+        closest_fn = lambda cox, coy, coz, cdx, cdy, cdz, interest: (
+            _closest_hit(
+                sph, pl_, tri, mat, ns, np_, nt,
+                cox, coy, coz, cdx, cdy, cdz, taabb=taabb,
+                interest=interest,
+            )
+        )
+    if any_fn is None:
+        any_fn = lambda aox, aoy, aoz, adx, ady, adz, lo, hi, interest: (
+            _any_hit(
+                sph, pl_, tri, ns, np_, nt, aox, aoy, aoz, adx, ady, adz,
+                lo, hi, taabb=taabb, interest=interest,
+            )
+        )
     shape = ox0.shape
     if True:  # preserved indentation of the original kernel body
         zero = jnp.zeros(shape)
@@ -794,9 +1077,8 @@ def _trace_tile(
             live = live_f > 0.0
             skr, skg, skb = _sky(dx, dy, dz)
 
-            (t, nx, ny, nz, ar, ag, ab, spec, shin) = _closest_hit(
-                sph, pl_, tri, mat, ns, np_, nt, ox, oy, oz, dx, dy, dz,
-                taabb=taabb, interest=live,
+            (t, nx, ny, nz, ar, ag, ab, spec, shin) = closest_fn(
+                ox, oy, oz, dx, dy, dz, live
             )
             hit = t < _INF
             miss = live & ~hit
@@ -844,11 +1126,9 @@ def _trace_tile(
                 # and back-facing tiles would otherwise pay a full
                 # primitive scan for nothing.
                 def do_scan():
-                    return _any_hit(
-                        sph, pl_, tri, ns, np_, nt,
+                    return any_fn(
                         sox, soy, soz, ldx, ldy, ldz,
-                        jnp.full(shape, bias), dist - bias,
-                        taabb=taabb, interest=ok,
+                        jnp.full(shape, bias), dist - bias, ok,
                     ).astype(jnp.float32)
 
                 occ_f = jax.lax.cond(
@@ -948,6 +1228,109 @@ def _make_kernel(
     return kernel
 
 
+def _make_streamed_kernel(
+    ns: int, np_: int, nt: int, nl: int, max_depth: int, bias: float,
+    min_weight: float = 0.0,
+):
+    """Chain kernel with HBM-streamed triangle blocks (nt > MAX_PRIMS)."""
+
+    def kernel(
+        sph_ref, pl_ref, matsp_ref, light_ref, taabb_ref, stream_ref,
+        ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, live_ref,
+        r_ref, g_ref, b_ref,
+        window, sem,
+    ):
+        closest_fn = lambda cox, coy, coz, cdx, cdy, cdz, interest: (
+            _closest_hit_streamed(
+                sph_ref, pl_ref, matsp_ref, stream_ref, taabb_ref,
+                window, sem, ns, np_, nt,
+                cox, coy, coz, cdx, cdy, cdz, interest=interest,
+            )
+        )
+        any_fn = lambda aox, aoy, aoz, adx, ady, adz, lo, hi, interest: (
+            _any_hit_streamed(
+                sph_ref, pl_ref, stream_ref, taabb_ref, window, sem,
+                ns, np_, nt, aox, aoy, aoz, adx, ady, adz, lo, hi,
+                interest=interest,
+            )
+        )
+        r, g, b = _trace_tile(
+            sph_ref, pl_ref, None, matsp_ref, light_ref,
+            ns, np_, nt, nl, max_depth, bias,
+            ox_ref[:], oy_ref[:], oz_ref[:],
+            dx_ref[:], dy_ref[:], dz_ref[:], live_ref[:],
+            min_weight=min_weight, closest_fn=closest_fn, any_fn=any_fn,
+        )
+        r_ref[:] = r
+        g_ref[:] = g
+        b_ref[:] = b
+
+    return kernel
+
+
+def chain_trace_streamed_pallas(
+    flat: FlatScene, o: jnp.ndarray, d: jnp.ndarray, cfg
+) -> jnp.ndarray:
+    """Forward fused trace for triangle counts past SMEM residency:
+    [R,3] origins/dirs -> [R,3] HDR radiance, triangle data DMA-streamed
+    from HBM per non-culled block (the reference's Model is size-
+    unbounded, Shape.h:269-300; this lifts the fused path's 8,192 cap)."""
+    r = o.shape[0]
+    sub = DENSE_SUB  # streaming implies a dense mesh
+    tile = sub * LANE
+    n_tiles = -(-r // tile)
+    pad = n_tiles * tile - r
+
+    def shape_ray(x, fill=0.0):
+        x = jnp.pad(x, (0, pad), constant_values=fill)
+        return x.reshape(n_tiles * sub, LANE).astype(jnp.float32)
+
+    ox, oy, oz = (shape_ray(o[:, i]) for i in range(3))
+    dx, dy = shape_ray(d[:, 0]), shape_ray(d[:, 1])
+    dz = shape_ray(d[:, 2], fill=1.0)
+    live = shape_ray(jnp.ones((r,), jnp.float32))
+
+    dm = jnp.mean(d, axis=0)
+    dm = jax.lax.stop_gradient(
+        dm * jax.lax.rsqrt(jnp.maximum(jnp.sum(dm * dm), 1e-20))
+    )
+    (sph, pl_, mat_sp, light, taabb, stream), _ = pack_streamed_tables(
+        flat, dmean=dm
+    )
+    kernel = _make_streamed_kernel(
+        flat.n_spheres, flat.n_planes, flat.n_triangles, flat.n_lights,
+        cfg.max_depth, cfg.bias, cfg.min_weight,
+    )
+
+    smem = lambda t: pl.BlockSpec(
+        t.shape, lambda i, _nz=t.ndim: (0,) * _nz, memory_space=pltpu.SMEM
+    )
+    ray_spec = pl.BlockSpec(
+        (sub, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[smem(sph), smem(pl_), smem(mat_sp), smem(light),
+                  smem(taabb), pl.BlockSpec(memory_space=pl.ANY)]
+        + [ray_spec] * 7,
+        out_specs=(ray_spec, ray_spec, ray_spec),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((n_tiles * sub, LANE), jnp.float32)
+            for _ in range(3)
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((STREAM_ROWS, TRI_BLOCK), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )(sph, pl_, mat_sp, light, taabb, stream,
+      ox, oy, oz, dx, dy, dz, live)
+
+    rgb = jnp.stack([c.reshape(-1)[:r] for c in out], axis=-1)
+    return rgb.astype(o.dtype)
+
+
 def pack_scene_tables(flat: FlatScene):
     """FlatScene -> SMEM tables (degenerate values in padded slots)."""
     dt = jnp.float32
@@ -1015,6 +1398,8 @@ def chain_trace_pallas(
     flat: FlatScene, o: jnp.ndarray, d: jnp.ndarray, cfg
 ) -> jnp.ndarray:
     """Forward fused trace: [R,3] origins/dirs -> [R,3] HDR radiance."""
+    if flat.n_triangles > MAX_PRIMS:
+        return chain_trace_streamed_pallas(flat, o, d, cfg)
     r = o.shape[0]
     sub, _ = tile_layout(flat.n_triangles)
     tile = sub * LANE
@@ -1089,13 +1474,18 @@ def pallas_applicable(flat: FlatScene, cfg, mode: str) -> bool:
     chain mode -> this module's reflection-chain kernel (binary shadows;
     for the opaque scenes chain mode is selected for, the reference march
     IS binary, but callers forcing chain on transparent scenes keep march
-    semantics on the XLA path). wavefront mode -> the general kernel
-    (kernels/wavefront_trace.py), which implements both the reference
-    transmittance march and binary shadows in-kernel."""
+    semantics on the XLA path); past MAX_PRIMS triangles the chain path
+    streams triangle blocks from HBM up to MAX_TRIS_STREAM. wavefront
+    mode -> the general kernel (kernels/wavefront_trace.py), which
+    implements both the reference transmittance march and binary shadows
+    in-kernel."""
+    non_tri = flat.n_primitives - flat.n_triangles
+    if mode == "chain":
+        if non_tri > MAX_PRIMS or flat.n_triangles > MAX_TRIS_STREAM:
+            return False
+        return cfg.shadow_mode == "binary"
     if flat.n_primitives > MAX_PRIMS:
         return False
-    if mode == "chain":
-        return cfg.shadow_mode == "binary"
     if mode == "wavefront":
         return cfg.shadow_mode in ("binary", "march")
     return False
