@@ -63,7 +63,8 @@ def pytest_configure(config):
                   f"skip): {e}", file=sys.stderr)
 
     dumps = ["head_box_1000", "head_box_1080p", "baseline_spheres_256",
-             "glass_256", "dense_mesh_128"]
+             "glass_256", "dense_mesh_128", "dense_mesh_512",
+             "dense_mesh_streamed_256"]
     missing = [n for n in dumps
                if not os.path.exists(os.path.join(_REFBUILD, n + ".hdr64"))]
     if not missing or shutil.which("g++") is None:
@@ -71,7 +72,7 @@ def pytest_configure(config):
     try:
         subprocess.run(
             ["sh", os.path.join(_REFBUILD, "build_parity.sh"), "dumps"],
-            check=True, timeout=600,
+            check=True, timeout=1800,
             stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
         )
     except Exception as e:  # tests that need the dumps will just skip
