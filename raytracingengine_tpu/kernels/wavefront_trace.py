@@ -410,6 +410,219 @@ def _march_T(
     return jnp.clip(out[4], 0.0, 1.0)
 
 
+def _dfs_trace_tile(
+    sph, pl_, tri, taabb, mat, light, stack_ref,
+    ns, np_, nt, nl, max_depth, bias, min_weight, shadow_mode,
+    shadow_max_steps, shadow_min_t, budget, cap,
+    p_ox, p_oy, p_oz, p_dx, p_dy, p_dz, live0,
+):
+    """One full Whitted DFS trace of a [SUB, LANE] ray tile -> (r, g, b).
+
+    The body of the wavefront kernel, factored out so the in-kernel AA
+    sampler (wavefront_spp_trace_pallas) can run it once per jittered
+    sample inside a single Pallas program. `stack_ref` is the caller's
+    VMEM scratch [cap, 8, SUB, LANE]; it is fully re-initialized here."""
+    shape = (SUB, LANE)
+    zero = jnp.zeros(shape)
+    one = jnp.ones(shape)
+
+    # Push the primary ray into slot 0; padding lanes start empty.
+    stack_ref[0] = jnp.stack(
+        [p_ox, p_oy, p_oz, p_dx, p_dy, p_dz, one, zero]
+    )
+    sp0 = live0  # 1.0 on valid lanes -> stack depth 1
+
+    def pop(sp_top):
+        """One-hot gather of each lane's stack top -> [8, SUB, LANE]."""
+        node = jnp.zeros((8,) + shape)
+        for s in range(cap):
+            node = jnp.where((sp_top == s)[None], stack_ref[s], node)
+        return node
+
+    def push(sp, mask, fields):
+        """One-hot scatter of `fields` at each lane's sp; returns new sp."""
+        new = jnp.stack(fields)
+        for s in range(cap):
+            m = mask & (sp == s)
+            stack_ref[s] = jnp.where(m[None], new, stack_ref[s])
+        return sp + mask.astype(jnp.float32)
+
+    def cond(c):
+        sp, _r, _g, _b, it = c
+        return (jnp.max(sp) > 0.0) & (it < budget)
+
+    def body(c):
+        sp, acc_r, acc_g, acc_b, it = c
+        live = sp > 0.0
+        top = sp - 1.0
+        node = pop(top)
+        ox, oy, oz = node[0], node[1], node[2]
+        dx, dy, dz = node[3], node[4], node[5]
+        weight, depth = node[6], node[7]
+        sp = jnp.where(live, sp - 1.0, sp)
+
+        at_max = depth >= max_depth
+        if_max_sky = live & at_max
+        shadeable = live & ~at_max
+
+        skr, skg, skb = _sky(dx, dy, dz)
+
+        (t, nx, ny, nz, ar, ag, ab, spec, shin, tau_raw, eta_t) = (
+            _closest_hit_full(
+                sph, pl_, tri, mat, ns, np_, nt, ox, oy, oz, dx, dy, dz,
+                taabb=taabb, interest=live,
+            )
+        )
+        hit = t < _INF
+        miss = shadeable & ~hit
+        shade = shadeable & hit
+        sky_lanes = if_max_sky | miss
+        acc_r += jnp.where(sky_lanes, weight * skr, 0.0)
+        acc_g += jnp.where(sky_lanes, weight * skg, 0.0)
+        acc_b += jnp.where(sky_lanes, weight * skb, 0.0)
+
+        # Front-face flip (Scene.h:145-146)
+        ndotd = nx * dx + ny * dy + nz * dz
+        front = ndotd < 0.0
+        flip = jnp.where(front, 1.0, -1.0)
+        nx, ny, nz = nx * flip, ny * flip, nz * flip
+
+        t_safe = jnp.where(hit, t, 0.0)
+        px = ox + dx * t_safe
+        py = oy + dy * t_safe
+        pz = oz + dz * t_safe
+        tau = jnp.clip(tau_raw, 0.0, 1.0)
+
+        # ---- direct lighting (Scene.h:79-129) ----
+        sox = px + nx * bias
+        soy = py + ny * bias
+        soz = pz + nz * bias
+        spec_on = (tau_raw <= 0.0) & (spec > 0.0)  # Scene.h:115
+
+        def light_body(li, lcarry):
+            dr, dg, db, sr, sg, sb = lcarry
+            lx, ly, lz = light[0, li], light[1, li], light[2, li]
+            er, eg, eb = light[3, li], light[4, li], light[5, li]
+            l_act = light[6, li] > 0.0
+            vx, vy, vz = lx - px, ly - py, lz - pz
+            dist2 = vx * vx + vy * vy + vz * vz
+            dist = jnp.sqrt(jnp.maximum(dist2, 1e-30))
+            inv_d = 1.0 / dist
+            ldx, ldy, ldz = vx * inv_d, vy * inv_d, vz * inv_d
+            ndotl = jnp.maximum(0.0, nx * ldx + ny * ldy + nz * ldz)
+            ok = shade & l_act & (dist > bias) & (ndotl > 0.0)
+            if shadow_mode == "binary":
+                # Whole-tile skip when no lane needs this light (the
+                # march path self-skips via its while condition).
+                def do_scan():
+                    return _any_hit(
+                        sph, pl_, tri, ns, np_, nt,
+                        sox, soy, soz, ldx, ldy, ldz,
+                        jnp.full(shape, bias), dist - bias,
+                        taabb=taabb, interest=ok,
+                    ).astype(jnp.float32)
+
+                occ_f = jax.lax.cond(
+                    jnp.any(ok), do_scan, lambda: jnp.ones(shape)
+                )
+                T = jnp.where(occ_f > 0.0, 0.0, 1.0)
+            else:
+                T = _march_T(
+                    sph, pl_, tri, mat, ns, np_, nt,
+                    bias, shadow_max_steps, shadow_min_t,
+                    sox, soy, soz, ldx, ldy, ldz, dist - bias, ok,
+                    taabb=taabb,
+                )
+            vis = ok & (T > bias)
+            inv_d2 = inv_d * inv_d
+            contrib = inv_d2 * ndotl * T
+            dr += jnp.where(vis, er * contrib, 0.0)
+            dg += jnp.where(vis, eg * contrib, 0.0)
+            db += jnp.where(vis, eb * contrib, 0.0)
+            hx_, hy_, hz_ = ldx - dx, ldy - dy, ldz - dz
+            h2 = hx_ * hx_ + hy_ * hy_ + hz_ * hz_
+            invh = jax.lax.rsqrt(jnp.maximum(h2, 1e-24))
+            ndoth = jnp.maximum(0.0, (nx * hx_ + ny * hy_ + nz * hz_) * invh)
+            s_ok = vis & spec_on & (ndoth > 0.0)
+            ndoth_s = jnp.where(s_ok, ndoth, 1.0)
+            sf = jnp.exp(shin * jnp.log(ndoth_s)) * inv_d2 * T
+            sr += jnp.where(s_ok, er * sf, 0.0)
+            sg += jnp.where(s_ok, eg * sf, 0.0)
+            sb += jnp.where(s_ok, eb * sf, 0.0)
+            return dr, dg, db, sr, sg, sb
+
+        dr, dg, db, sr, sg, sb = jax.lax.fori_loop(
+            0, nl, light_body, (zero, zero, zero, zero, zero, zero)
+        )
+        one_m_tau = 1.0 - tau  # Scene.h:171-173
+        acc_r += jnp.where(shade, weight * one_m_tau * (ar * dr + sr * spec), 0.0)
+        acc_g += jnp.where(shade, weight * one_m_tau * (ag * dg + sg * spec), 0.0)
+        acc_b += jnp.where(shade, weight * one_m_tau * (ab * db + sb * spec), 0.0)
+
+        # ---- Fresnel + children (Scene.h:161-195) ----
+        cos_theta = jnp.maximum(0.0, -(nx * dx + ny * dy + nz * dz))
+        f0r = (eta_t - 1.0) / (eta_t + 1.0)
+        f0 = f0r * f0r
+        omc = 1.0 - cos_theta
+        omc2 = omc * omc
+        fresnel = f0 + (1.0 - f0) * omc2 * omc2 * omc
+
+        # Refraction (Scene.h:175-187); vm.refract semantics with d, n
+        # already unit: cosi = d.n (negative entering), TIR -> zero dir.
+        eta = jnp.where(front, 1.0 / eta_t, eta_t)
+        cosi = jnp.clip(dx * nx + dy * ny + dz * nz, -1.0, 1.0)
+        k = 1.0 - eta * eta * (1.0 - cosi * cosi)
+        tir_k = k < 0.0
+        sqk = jnp.sqrt(jnp.maximum(k, 0.0))
+        coef = eta * cosi + sqk
+        rfx = jnp.where(tir_k, 0.0, dx * eta - nx * coef)
+        rfy = jnp.where(tir_k, 0.0, dy * eta - ny * coef)
+        rfz = jnp.where(tir_k, 0.0, dz * eta - nz * coef)
+        rf2 = rfx * rfx + rfy * rfy + rfz * rfz
+        rflen = jnp.sqrt(rf2)
+        wants_refr = shade & (tau > 0.0)
+        has_refr = wants_refr & (rflen > bias)
+        tir = wants_refr & (rflen <= bias)
+        fresnel_eff = jnp.where(tir, 1.0, fresnel)  # Scene.h:185
+        inv_rf = jax.lax.rsqrt(jnp.maximum(rf2, 1e-24))
+        rfx, rfy, rfz = rfx * inv_rf, rfy * inv_rf, rfz * inv_rf
+        refr_w = weight * tau * (1.0 - fresnel)  # pre-TIR F (Scene.h:182)
+
+        # Reflection (Scene.h:189-195)
+        reflectiveness = jnp.where(tau > 0.0, fresnel_eff, spec)
+        ddn = dx * nx + dy * ny + dz * nz
+        rlx = dx - 2.0 * ddn * nx
+        rly = dy - 2.0 * ddn * ny
+        rlz = dz - 2.0 * ddn * nz
+        rl2 = rlx * rlx + rly * rly + rlz * rlz
+        inv_rl = jax.lax.rsqrt(jnp.maximum(rl2, 1e-24))
+        rlx, rly, rlz = rlx * inv_rl, rly * inv_rl, rlz * inv_rl
+        refl_w = weight * reflectiveness
+
+        push_refl = shade & (reflectiveness > bias) & (refl_w >= min_weight)
+        push_refr = has_refr & (refr_w >= min_weight)
+
+        # Push reflection first, refraction second (LIFO pop order then
+        # matches the reference's refraction-before-reflection DFS).
+        sp = push(
+            sp, push_refl,
+            (px + rlx * bias, py + rly * bias, pz + rlz * bias,
+             rlx, rly, rlz, refl_w, depth + 1.0),
+        )
+        b100 = bias * 1e2  # Scene.h:180
+        sp = push(
+            sp, push_refr,
+            (px + rfx * b100, py + rfy * b100, pz + rfz * b100,
+             rfx, rfy, rfz, refr_w, depth + 1.0),
+        )
+        return sp, acc_r, acc_g, acc_b, it + 1
+
+    sp, acc_r, acc_g, acc_b, _ = jax.lax.while_loop(
+        cond, body, (sp0, zero, zero, zero, jnp.int32(0))
+    )
+    return acc_r, acc_g, acc_b
+
+
 def _make_wavefront_kernel(
     ns, np_, nt, nl, max_depth, bias, min_weight, shadow_mode,
     shadow_max_steps, shadow_min_t, budget,
@@ -422,210 +635,16 @@ def _make_wavefront_kernel(
         r_ref, g_ref, b_ref,
         stack_ref,  # scratch [cap, 8, SUB, LANE]: ox..dz, weight, depth
     ):
-        sph, pl_, tri, mat, light = sph_ref, pl_ref, tri_ref, mat_ref, light_ref
-        taabb = taabb_ref
-        shape = (SUB, LANE)
-        zero = jnp.zeros(shape)
-        one = jnp.ones(shape)
-
-        # Push the primary ray into slot 0; padding lanes start empty.
-        stack_ref[0] = jnp.stack(
-            [ox_ref[:], oy_ref[:], oz_ref[:],
-             dx_ref[:], dy_ref[:], dz_ref[:], one, zero]
+        r, g, b = _dfs_trace_tile(
+            sph_ref, pl_ref, tri_ref, taabb_ref, mat_ref, light_ref,
+            stack_ref, ns, np_, nt, nl, max_depth, bias, min_weight,
+            shadow_mode, shadow_max_steps, shadow_min_t, budget, cap,
+            ox_ref[:], oy_ref[:], oz_ref[:],
+            dx_ref[:], dy_ref[:], dz_ref[:], live_ref[:],
         )
-        sp0 = live_ref[:]  # 1.0 on valid lanes -> stack depth 1
-
-        def pop(sp_top):
-            """One-hot gather of each lane's stack top -> [8, SUB, LANE]."""
-            node = jnp.zeros((8,) + shape)
-            for s in range(cap):
-                node = jnp.where((sp_top == s)[None], stack_ref[s], node)
-            return node
-
-        def push(sp, mask, fields):
-            """One-hot scatter of `fields` at each lane's sp; returns new sp."""
-            new = jnp.stack(fields)
-            for s in range(cap):
-                m = mask & (sp == s)
-                stack_ref[s] = jnp.where(m[None], new, stack_ref[s])
-            return sp + mask.astype(jnp.float32)
-
-        def cond(c):
-            sp, _r, _g, _b, it = c
-            return (jnp.max(sp) > 0.0) & (it < budget)
-
-        def body(c):
-            sp, acc_r, acc_g, acc_b, it = c
-            live = sp > 0.0
-            top = sp - 1.0
-            node = pop(top)
-            ox, oy, oz = node[0], node[1], node[2]
-            dx, dy, dz = node[3], node[4], node[5]
-            weight, depth = node[6], node[7]
-            sp = jnp.where(live, sp - 1.0, sp)
-
-            at_max = depth >= max_depth
-            if_max_sky = live & at_max
-            shadeable = live & ~at_max
-
-            skr, skg, skb = _sky(dx, dy, dz)
-
-            (t, nx, ny, nz, ar, ag, ab, spec, shin, tau_raw, eta_t) = (
-                _closest_hit_full(
-                    sph, pl_, tri, mat, ns, np_, nt, ox, oy, oz, dx, dy, dz,
-                    taabb=taabb, interest=live,
-                )
-            )
-            hit = t < _INF
-            miss = shadeable & ~hit
-            shade = shadeable & hit
-            sky_lanes = if_max_sky | miss
-            acc_r += jnp.where(sky_lanes, weight * skr, 0.0)
-            acc_g += jnp.where(sky_lanes, weight * skg, 0.0)
-            acc_b += jnp.where(sky_lanes, weight * skb, 0.0)
-
-            # Front-face flip (Scene.h:145-146)
-            ndotd = nx * dx + ny * dy + nz * dz
-            front = ndotd < 0.0
-            flip = jnp.where(front, 1.0, -1.0)
-            nx, ny, nz = nx * flip, ny * flip, nz * flip
-
-            t_safe = jnp.where(hit, t, 0.0)
-            px = ox + dx * t_safe
-            py = oy + dy * t_safe
-            pz = oz + dz * t_safe
-            tau = jnp.clip(tau_raw, 0.0, 1.0)
-
-            # ---- direct lighting (Scene.h:79-129) ----
-            sox = px + nx * bias
-            soy = py + ny * bias
-            soz = pz + nz * bias
-            spec_on = (tau_raw <= 0.0) & (spec > 0.0)  # Scene.h:115
-
-            def light_body(li, lcarry):
-                dr, dg, db, sr, sg, sb = lcarry
-                lx, ly, lz = light[0, li], light[1, li], light[2, li]
-                er, eg, eb = light[3, li], light[4, li], light[5, li]
-                l_act = light[6, li] > 0.0
-                vx, vy, vz = lx - px, ly - py, lz - pz
-                dist2 = vx * vx + vy * vy + vz * vz
-                dist = jnp.sqrt(jnp.maximum(dist2, 1e-30))
-                inv_d = 1.0 / dist
-                ldx, ldy, ldz = vx * inv_d, vy * inv_d, vz * inv_d
-                ndotl = jnp.maximum(0.0, nx * ldx + ny * ldy + nz * ldz)
-                ok = shade & l_act & (dist > bias) & (ndotl > 0.0)
-                if shadow_mode == "binary":
-                    # Whole-tile skip when no lane needs this light (the
-                    # march path self-skips via its while condition).
-                    def do_scan():
-                        return _any_hit(
-                            sph, pl_, tri, ns, np_, nt,
-                            sox, soy, soz, ldx, ldy, ldz,
-                            jnp.full(shape, bias), dist - bias,
-                            taabb=taabb, interest=ok,
-                        ).astype(jnp.float32)
-
-                    occ_f = jax.lax.cond(
-                        jnp.any(ok), do_scan, lambda: jnp.ones(shape)
-                    )
-                    T = jnp.where(occ_f > 0.0, 0.0, 1.0)
-                else:
-                    T = _march_T(
-                        sph, pl_, tri, mat, ns, np_, nt,
-                        bias, shadow_max_steps, shadow_min_t,
-                        sox, soy, soz, ldx, ldy, ldz, dist - bias, ok,
-                        taabb=taabb,
-                    )
-                vis = ok & (T > bias)
-                inv_d2 = inv_d * inv_d
-                contrib = inv_d2 * ndotl * T
-                dr += jnp.where(vis, er * contrib, 0.0)
-                dg += jnp.where(vis, eg * contrib, 0.0)
-                db += jnp.where(vis, eb * contrib, 0.0)
-                hx_, hy_, hz_ = ldx - dx, ldy - dy, ldz - dz
-                h2 = hx_ * hx_ + hy_ * hy_ + hz_ * hz_
-                invh = jax.lax.rsqrt(jnp.maximum(h2, 1e-24))
-                ndoth = jnp.maximum(0.0, (nx * hx_ + ny * hy_ + nz * hz_) * invh)
-                s_ok = vis & spec_on & (ndoth > 0.0)
-                ndoth_s = jnp.where(s_ok, ndoth, 1.0)
-                sf = jnp.exp(shin * jnp.log(ndoth_s)) * inv_d2 * T
-                sr += jnp.where(s_ok, er * sf, 0.0)
-                sg += jnp.where(s_ok, eg * sf, 0.0)
-                sb += jnp.where(s_ok, eb * sf, 0.0)
-                return dr, dg, db, sr, sg, sb
-
-            dr, dg, db, sr, sg, sb = jax.lax.fori_loop(
-                0, nl, light_body, (zero, zero, zero, zero, zero, zero)
-            )
-            one_m_tau = 1.0 - tau  # Scene.h:171-173
-            acc_r += jnp.where(shade, weight * one_m_tau * (ar * dr + sr * spec), 0.0)
-            acc_g += jnp.where(shade, weight * one_m_tau * (ag * dg + sg * spec), 0.0)
-            acc_b += jnp.where(shade, weight * one_m_tau * (ab * db + sb * spec), 0.0)
-
-            # ---- Fresnel + children (Scene.h:161-195) ----
-            cos_theta = jnp.maximum(0.0, -(nx * dx + ny * dy + nz * dz))
-            f0r = (eta_t - 1.0) / (eta_t + 1.0)
-            f0 = f0r * f0r
-            omc = 1.0 - cos_theta
-            omc2 = omc * omc
-            fresnel = f0 + (1.0 - f0) * omc2 * omc2 * omc
-
-            # Refraction (Scene.h:175-187); vm.refract semantics with d, n
-            # already unit: cosi = d.n (negative entering), TIR -> zero dir.
-            eta = jnp.where(front, 1.0 / eta_t, eta_t)
-            cosi = jnp.clip(dx * nx + dy * ny + dz * nz, -1.0, 1.0)
-            k = 1.0 - eta * eta * (1.0 - cosi * cosi)
-            tir_k = k < 0.0
-            sqk = jnp.sqrt(jnp.maximum(k, 0.0))
-            coef = eta * cosi + sqk
-            rfx = jnp.where(tir_k, 0.0, dx * eta - nx * coef)
-            rfy = jnp.where(tir_k, 0.0, dy * eta - ny * coef)
-            rfz = jnp.where(tir_k, 0.0, dz * eta - nz * coef)
-            rf2 = rfx * rfx + rfy * rfy + rfz * rfz
-            rflen = jnp.sqrt(rf2)
-            wants_refr = shade & (tau > 0.0)
-            has_refr = wants_refr & (rflen > bias)
-            tir = wants_refr & (rflen <= bias)
-            fresnel_eff = jnp.where(tir, 1.0, fresnel)  # Scene.h:185
-            inv_rf = jax.lax.rsqrt(jnp.maximum(rf2, 1e-24))
-            rfx, rfy, rfz = rfx * inv_rf, rfy * inv_rf, rfz * inv_rf
-            refr_w = weight * tau * (1.0 - fresnel)  # pre-TIR F (Scene.h:182)
-
-            # Reflection (Scene.h:189-195)
-            reflectiveness = jnp.where(tau > 0.0, fresnel_eff, spec)
-            ddn = dx * nx + dy * ny + dz * nz
-            rlx = dx - 2.0 * ddn * nx
-            rly = dy - 2.0 * ddn * ny
-            rlz = dz - 2.0 * ddn * nz
-            rl2 = rlx * rlx + rly * rly + rlz * rlz
-            inv_rl = jax.lax.rsqrt(jnp.maximum(rl2, 1e-24))
-            rlx, rly, rlz = rlx * inv_rl, rly * inv_rl, rlz * inv_rl
-            refl_w = weight * reflectiveness
-
-            push_refl = shade & (reflectiveness > bias) & (refl_w >= min_weight)
-            push_refr = has_refr & (refr_w >= min_weight)
-
-            # Push reflection first, refraction second (LIFO pop order then
-            # matches the reference's refraction-before-reflection DFS).
-            sp = push(
-                sp, push_refl,
-                (px + rlx * bias, py + rly * bias, pz + rlz * bias,
-                 rlx, rly, rlz, refl_w, depth + 1.0),
-            )
-            b100 = bias * 1e2  # Scene.h:180
-            sp = push(
-                sp, push_refr,
-                (px + rfx * b100, py + rfy * b100, pz + rfz * b100,
-                 rfx, rfy, rfz, refr_w, depth + 1.0),
-            )
-            return sp, acc_r, acc_g, acc_b, it + 1
-
-        sp, acc_r, acc_g, acc_b, _ = jax.lax.while_loop(
-            cond, body, (sp0, zero, zero, zero, jnp.int32(0))
-        )
-        r_ref[:] = acc_r
-        g_ref[:] = acc_g
-        b_ref[:] = acc_b
+        r_ref[:] = r
+        g_ref[:] = g
+        b_ref[:] = b
 
     return kernel, cap
 
@@ -673,6 +692,124 @@ def wavefront_trace_pallas(
 
     rgb = jnp.stack([c.reshape(-1)[:r] for c in out], axis=-1)
     return rgb.astype(o.dtype)
+
+
+def _make_wavefront_spp_kernel(
+    ns, np_, nt, nl, max_depth, bias, min_weight, shadow_mode,
+    shadow_max_steps, shadow_min_t, budget, spp,
+):
+    """Whole AA loop inside one wavefront program (VERDICT r04 task #8).
+
+    Mirrors kernels/spp_trace.py: pixel screen coords per lane, camera in
+    SMEM, jitter from the TPU hardware PRNG (sample 0 unjittered,
+    Scene.h:289-296), each sample running the full DFS trace
+    (_dfs_trace_tile) and accumulating — spp>1 glass renders cost one
+    dispatch instead of looping the wavefront kernel per sample."""
+    from raytracingengine_tpu.kernels import spp_trace as st
+
+    cap = max_depth + 2
+
+    def kernel(
+        seed_ref, cam_ref,
+        sph_ref, pl_ref, tri_ref, taabb_ref, mat_ref, light_ref,
+        sx_ref, sy_ref, live_ref,
+        r_ref, g_ref, b_ref,
+        stack_ref,
+    ):
+        st._seed_prng(seed_ref[0] + pl.program_id(0))
+        cx, cy, cz = cam_ref[0], cam_ref[1], cam_ref[2]
+        focal = cam_ref[3]
+        sx0, sy0 = sx_ref[:], sy_ref[:]
+        shape = sx0.shape
+
+        def sample(s_idx, acc):
+            ar, ag, ab = acc
+            jx = jnp.where(s_idx > 0, st._uniform01(shape), jnp.zeros(shape))
+            jy = jnp.where(s_idx > 0, st._uniform01(shape), jnp.zeros(shape))
+            sx = sx0 + jx
+            sy = sy0 + jy
+            ddx = sx - cx
+            ddy = sy - cy
+            ddz = jnp.full(shape, focal)
+            inv = jax.lax.rsqrt(ddx * ddx + ddy * ddy + ddz * ddz)
+            r, g, b = _dfs_trace_tile(
+                sph_ref, pl_ref, tri_ref, taabb_ref, mat_ref, light_ref,
+                stack_ref, ns, np_, nt, nl, max_depth, bias, min_weight,
+                shadow_mode, shadow_max_steps, shadow_min_t, budget, cap,
+                jnp.full(shape, cx), jnp.full(shape, cy),
+                jnp.full(shape, cz),
+                ddx * inv, ddy * inv, ddz * inv, live_ref[:],
+            )
+            return ar + r, ag + g, ab + b
+
+        zero = jnp.zeros(shape)
+        ar, ag, ab = jax.lax.fori_loop(0, spp, sample, (zero, zero, zero))
+        inv_spp = 1.0 / spp
+        r_ref[:] = ar * inv_spp
+        g_ref[:] = ag * inv_spp
+        b_ref[:] = ab * inv_spp
+
+    return kernel, cap
+
+
+def wavefront_spp_trace_pallas(flat: FlatScene, camera, cfg, px, py,
+                               seed: int = 0):
+    """spp>1 wavefront render with the AA loop fused in-kernel -> [R, 3].
+
+    Forward-only (hardware-PRNG jitter has no adjoint replay), like
+    spp_trace_pallas; differentiable spp>1 wavefront rendering loops
+    per-sample through wavefront_trace's custom_vjp instead."""
+    r = px.shape[0]
+    n_tiles = -(-r // TILE)
+    pad = n_tiles * TILE - r
+    dtype = camera.position.dtype
+
+    sx = px.astype(jnp.float32) - camera.width / 2.0
+    sy = camera.height / 2.0 - py.astype(jnp.float32)
+
+    def shape_lane(x):
+        return (
+            jnp.pad(x, (0, pad)).reshape(n_tiles * SUB, LANE)
+            .astype(jnp.float32)
+        )
+
+    sx, sy = shape_lane(sx), shape_lane(sy)
+    live = shape_lane(jnp.ones((r,), jnp.float32))
+    seed_arr = jnp.asarray([seed], jnp.int32)
+    cam = jnp.stack([
+        camera.position[0].astype(jnp.float32),
+        camera.position[1].astype(jnp.float32),
+        camera.position[2].astype(jnp.float32),
+        camera.focal.astype(jnp.float32),
+    ])
+
+    tables = pack_forward_tables(flat)
+    kernel, cap = _make_wavefront_spp_kernel(
+        flat.n_spheres, flat.n_planes, flat.n_triangles, flat.n_lights,
+        cfg.max_depth, cfg.bias, cfg.min_weight, cfg.shadow_mode,
+        cfg.shadow_max_steps, cfg.shadow_min_t, cfg.budget(), camera.spp,
+    )
+    smem = lambda t: pl.BlockSpec(
+        t.shape, lambda i, _nz=t.ndim: (0,) * _nz, memory_space=pltpu.SMEM
+    )
+    lane_spec = pl.BlockSpec(
+        (SUB, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[smem(seed_arr), smem(cam)]
+        + [smem(t) for t in tables]
+        + [lane_spec] * 3,
+        out_specs=(lane_spec,) * 3,
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((n_tiles * SUB, LANE), jnp.float32)
+            for _ in range(3)
+        ),
+        scratch_shapes=[pltpu.VMEM((cap, 8, SUB, LANE), jnp.float32)],
+    )(seed_arr, cam, *tables, sx, sy, live)
+    rgb = jnp.stack([c.reshape(-1)[:r] for c in out], axis=-1)
+    return rgb.astype(dtype)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))

@@ -161,11 +161,23 @@ def _render_chunk(
         if pallas_applicable(flat, cfg, mode):
             if mode == "wavefront":
                 # General (transparency/refraction) fused kernel; its
-                # custom_vjp backward is the XLA wavefront's autodiff.
+                # custom_vjp backward is the fused taped-DFS adjoint
+                # (<=512 prims) or the XLA wavefront's autodiff.
                 from raytracingengine_tpu.kernels.wavefront_trace import (
+                    wavefront_spp_trace_pallas,
                     wavefront_trace,
                 )
 
+                if camera.spp > 1 and not cfg.differentiable:
+                    # Whole AA loop fused in-kernel (HW-PRNG jitter),
+                    # mirroring the chain spp kernel below — one dispatch
+                    # instead of an spp-long per-sample kernel loop.
+                    seed = jax.random.randint(
+                        chunk_key, (), 0, 2**31 - 1, dtype=jnp.int32
+                    )
+                    return wavefront_spp_trace_pallas(
+                        flat, camera, cfg, px, py, seed
+                    )
                 integrate = lambda fl, o, d, c, _pa=None: wavefront_trace(
                     fl, o, d, c
                 )
@@ -258,9 +270,18 @@ def render_hdr(
     # Fused-kernel path: regroup pixels so each kernel tile gets a
     # compact 128x64 image patch (see _swizzle_perm). The XLA integrator
     # is order-agnostic (all-pairs contractions), so only gate on
-    # use_pallas; the inverse gather after lax.map keeps the output
-    # row-major and bit-identical.
+    # use_pallas.
     swizzle = cfg.use_pallas
+    # When the swizzle applies, prefer the PADDED-GRID layout: swizzled
+    # pixel coords become host-side numpy constants and the unswizzle is
+    # a reshape/transpose instead of a [R,3] gather. Device-profiled at
+    # 1080p glass: the two px/py swizzle gathers + the output inverse
+    # gather cost 38.5 ms of the 41.3 ms device total against 2.4 ms of
+    # actual kernel time (PROFILE.md §7) — TPU gathers are scalar-ish,
+    # transposes are lane shuffles. Costs up to ~12.5% extra (discarded)
+    # rays on ragged patch grids; above that the gather path is kept
+    # (tiny images: gathers are cheap there anyway).
+    unswizzle_transpose = None
     # Row-major flat pixel ids ride along so jitter streams stay keyed to
     # the PIXEL, not to where chunking/swizzling placed it (_pixel_jitter).
     pids = np.arange(r, dtype=np.int32)
@@ -268,9 +289,28 @@ def render_hdr(
         from raytracingengine_tpu.kernels.chain_trace import tile_layout
 
         pw, ph = tile_layout(flat.n_triangles)[1]
-        perm, inv_perm = _swizzle_perm(camera.width, camera.height, pw, ph)
-        px, py = px[perm], py[perm]
-        pids = pids[perm]
+        w_, h_ = camera.width, camera.height
+        n_x, n_y = -(-w_ // pw), -(-h_ // ph)
+        wp, hp = n_x * pw, n_y * ph
+        if hp * wp <= 1.125 * r:
+            # Patch-raster coords over the padded grid, as constants.
+            k = np.arange(hp * wp, dtype=np.int32)
+            within, patch = k % (ph * pw), k // (ph * pw)
+            py_np = (patch // n_x) * ph + within // pw
+            px_np = (patch % n_x) * pw + within % pw
+            # Padded pixels (beyond the real image) trace throwaway rays
+            # and are sliced off after the transpose; their jitter ids
+            # clamp to a real pixel (values discarded).
+            pids = (np.minimum(py_np, h_ - 1) * w_
+                    + np.minimum(px_np, w_ - 1)).astype(np.int32)
+            px, py = (jnp.asarray(px_np.astype(np.int32)),
+                      jnp.asarray(py_np.astype(np.int32)))
+            r = hp * wp
+            unswizzle_transpose = (n_y, n_x, ph, pw, h_, w_)
+        else:
+            perm, inv_perm = _swizzle_perm(w_, h_, pw, ph)
+            px, py = px[perm], py[perm]
+            pids = pids[perm]
     pids = jnp.asarray(pids)
     chunk = min(cfg.chunk_size, r)
     n_chunks = -(-r // chunk)
@@ -297,6 +337,13 @@ def render_hdr(
 
     out = jax.lax.map(per_chunk, (chunk_ids, px, py, pids))  # [n_chunks, chunk, 3]
     flat_out = out.reshape(-1, 3)[:r]
+    if unswizzle_transpose is not None:
+        n_y, n_x, ph, pw, h_, w_ = unswizzle_transpose
+        return (
+            flat_out.reshape(n_y, n_x, ph, pw, 3)
+            .transpose(0, 2, 1, 3, 4)
+            .reshape(n_y * ph, n_x * pw, 3)[:h_, :w_]
+        )
     if swizzle:
         flat_out = flat_out[inv_perm]
     return flat_out.reshape(camera.height, camera.width, 3)

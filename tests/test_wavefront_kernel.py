@@ -119,3 +119,71 @@ def test_wavefront_trace_grads_match_xla():
         if a.size == 0:
             continue
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_wavefront_spp_kernel(monkeypatch):
+    """In-kernel AA for the wavefront path (VERDICT r04 task #8): the
+    jittered mean is deterministic per seed, routed through the pipeline
+    for spp>1 glass scenes, and stays within AA noise of the spp=1
+    center render."""
+    import jax
+    import jax.numpy as jnp
+
+    import raytracingengine_tpu.kernels.spp_trace as st
+    from raytracingengine_tpu.render.pipeline import render_hdr
+
+    # Software PRNG stand-in (TPU PRNG has no CPU lowering) — same
+    # test-double as test_spp_kernel.py.
+    state = {"seed": 0.0, "calls": 0}
+
+    def fake_seed(seed):
+        state["seed"] = seed
+        state["calls"] = 0
+
+    def fake_uniform(shape):
+        state["calls"] += 1
+        i = jax.lax.broadcasted_iota(jnp.float32, shape, 0)
+        j = jax.lax.broadcasted_iota(jnp.float32, shape, 1)
+        x = jnp.sin(
+            i * 12.9898 + j * 78.233
+            + jnp.asarray(state["seed"], jnp.float32) * 0.61803
+            + state["calls"] * 2.71828
+        ) * 43758.5453
+        return x - jnp.floor(x)
+
+    monkeypatch.setattr(st, "_seed_prng", fake_seed)
+    monkeypatch.setattr(st, "_uniform01", fake_uniform)
+
+    scene, camera = glass_sphere_scene(width=16, height=16, spp=4)
+    flat = flatten_scene(scene)
+    cfg = RenderConfig(shadow_mode="binary")
+    px, py = camera.pixel_grid()
+    a = np.asarray(wt.wavefront_spp_trace_pallas(flat, camera, cfg, px, py, seed=3))
+    b = np.asarray(wt.wavefront_spp_trace_pallas(flat, camera, cfg, px, py, seed=3))
+    np.testing.assert_array_equal(a, b)  # deterministic per seed
+    assert np.isfinite(a).all() and a.std() > 0.01
+
+    # Within AA noise of the spp=1 center render (edges soften).
+    scene1, cam1 = glass_sphere_scene(width=16, height=16, spp=1)
+    center = np.asarray(
+        render_hdr(scene1, cam1, cfg, mode="wavefront")
+    ).reshape(-1, 3)
+    diff = np.abs(a - center).max(axis=1)
+    assert np.quantile(diff, 0.7) < 0.08
+    assert diff.mean() < 0.15
+
+    # The pipeline routes spp>1 wavefront renders through this kernel.
+    calls = {"n": 0}
+    orig = wt.wavefront_spp_trace_pallas
+
+    def spy(*args, **kw):
+        calls["n"] += 1
+        return orig(*args, **kw)
+
+    monkeypatch.setattr(wt, "wavefront_spp_trace_pallas", spy)
+    import raytracingengine_tpu.render.pipeline as pipe  # noqa: F401
+
+    cfgp = RenderConfig(shadow_mode="binary", use_pallas=True, chunk_size=256)
+    img = np.asarray(render_hdr(scene, camera, cfgp))
+    assert calls["n"] > 0, "pipeline did not use the wavefront spp kernel"
+    assert img.shape == (16, 16, 3) and np.isfinite(img).all()
