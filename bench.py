@@ -9,7 +9,7 @@ device time: this image's tunneled TPU backend costs ~28 ms per dispatch
 (profiling/profile_step.py), which a real training loop amortizes exactly
 like the scan does. The single-dispatch step time is reported alongside.
 
-Secondary lines (stderr + BENCH_DETAIL_r04.json) cover every BASELINE
+Secondary lines (stderr + BENCH_DETAIL_r05.json) cover every BASELINE
 config on this chip:
   - forward render @1080p spp=8 (production path, config #2 resolution)
   - 32-spp in-kernel AA at 1000x1000 (config #1 semantics, the
@@ -158,51 +158,67 @@ def main() -> None:
             f"{detail['spp32_1000_mrays_s']} Mrays/s")
 
         # ---- config #2 domain: glass @1080p through the wavefront kernel ----
+        # Wall time AND device time: the r4 driver run measured 150.6 ms
+        # wall where the committed run had 65.7 — a 2.3x swing PROFILE.md
+        # §7 traces to dispatch/tunnel variance, not device work. Report
+        # both so the run of record is interpretable (VERDICT r04 task #2).
         gs, gc = glass_sphere_scene(width=width, height=height, spp=1)
         gcfg = RenderConfig(use_pallas=True, chunk_size=rays_1080)  # march shadows
         gfwd = jax.jit(lambda s: jnp.sum(render_hdr(s, gc, gcfg)))
-        dt = timed(lambda: gfwd(gs), label="glass @1080p (wavefront kernel)")
+        dt = timed(lambda: gfwd(gs), iters=10, label="glass @1080p (wavefront kernel)")
         detail["glass_1080p_mrays_s"] = round(rays_1080 / dt / 1e6, 1)
         log(f"glass: {dt*1e3:.1f} ms/frame -> {detail['glass_1080p_mrays_s']} Mrays/s")
+        try:
+            from raytracingengine_tpu.utils.profiling import profile_step
 
-        # ---- glass TRAINING: value_and_grad through the wavefront path ----
-        # The backward engine here is XLA autodiff of the wavefront
-        # integrator (wavefront_trace._wavefront_bwd — the fused kernel is
-        # forward-only), so this line prices the documented engine swap
-        # rather than hiding it (VERDICT r03 task #3). 512^2 rays: the
-        # fixed-trip differentiable replay materializes per-depth residuals,
-        # so 1080p would not fit HBM.
-        import warnings as _warnings
+            rep = profile_step(lambda: jax.block_until_ready(gfwd(gs)))
+            if rep.device_total_ms > 0:
+                detail["glass_1080p_device_ms"] = round(rep.device_total_ms, 1)
+                detail["glass_1080p_device_mrays_s"] = round(
+                    rays_1080 / rep.device_total_ms / 1e3, 1
+                )
+                log(f"glass device time: {rep.device_total_ms:.1f} ms -> "
+                    f"{detail['glass_1080p_device_mrays_s']} Mrays/s device-side")
+        except Exception as e:
+            log(f"glass device-trace failed: {e!r}")
 
+        # ---- glass TRAINING: fused taped-DFS adjoint (r5) ----
+        # The wavefront backward now runs on-chip (kernels/
+        # wavefront_grad.py): the forward DFS is replayed writing popped
+        # nodes to an HBM tape, then swept in reverse with a mirrored
+        # cotangent stack. r4 priced this path at 0.01 Mrays/s through
+        # XLA autodiff of the fixed-trip replay; the fused adjoint is the
+        # VERDICT r04 task #1 fix. Grad parity vs XLA autodiff is pinned
+        # in tests/test_wavefront_grad.py.
         from raytracingengine_tpu.kernels.wavefront_trace import wavefront_trace
 
-        # 256^2 rays, budget 32: the differentiable replay's fixed-trip DFS
-        # autodiff is a multi-MB XLA program — the 512^2 budget-48 variant
-        # crashes this image's remote-compile helper outright (HTTP 500),
-        # which is itself a datum about this backward's cost.
         try:
-            gts, gtc = glass_sphere_scene(width=256, height=256, spp=1)
-            gto, gtd = gtc.rays_for_pixels(*gtc.pixel_grid())
-            gt_cfg = RenderConfig(wavefront_budget=32)
-            gt_params, gt_static = partition(gts)
+            for gl_res in (256, 1080):
+                if gl_res == 256:
+                    gw, gh = 256, 256
+                else:
+                    gw, gh = 1920, 1080
+                gts, gtc = glass_sphere_scene(width=gw, height=gh, spp=1)
+                gto, gtd = gtc.rays_for_pixels(*gtc.pixel_grid())
+                gt_cfg = RenderConfig()  # march shadows, lossless budget
+                gt_params, gt_static = partition(gts)
 
-            def glass_loss(p):
-                fl = flatten_scene(combine(p, gt_static))
-                img = wavefront_trace(fl, gto, gtd, gt_cfg)
-                return jnp.mean(img * img)
+                def glass_loss(p, _o=gto, _d=gtd, _s=gt_static, _c=gt_cfg):
+                    fl = flatten_scene(combine(p, _s))
+                    img = wavefront_trace(fl, _o, _d, _c)
+                    return jnp.mean(img * img)
 
-            ggf = jax.jit(jax.value_and_grad(glass_loss))
-            with _warnings.catch_warnings():
-                _warnings.simplefilter("ignore")  # engine-swap warning, priced here
-                dt = timed(lambda: ggf(gt_params)[0], label="glass fwd+bwd @256^2")
-            detail["glass_train_256_mrays_s"] = round(256 * 256 / dt / 1e6, 2)
-            detail["glass_train_backward_engine"] = "xla_autodiff_wavefront_replay"
-            log(f"glass fwd+bwd: {dt*1e3:.1f} ms/step -> "
-                f"{detail['glass_train_256_mrays_s']} Mrays/s (XLA-autodiff backward)")
+                ggf = jax.jit(jax.value_and_grad(glass_loss))
+                dt = timed(lambda: ggf(gt_params)[0],
+                           label=f"glass fwd+bwd @{gl_res}")
+                key = f"glass_train_{gl_res}_mrays_s"
+                detail[key] = round(gw * gh / dt / 1e6, 2)
+                log(f"glass fwd+bwd @{gl_res}: {dt*1e3:.1f} ms/step -> "
+                    f"{detail[key]} Mrays/s (fused taped-DFS adjoint)")
+            detail["glass_train_backward_engine"] = "fused_taped_dfs_adjoint"
         except Exception as e:  # never lose the headline to this line
             log(f"glass fwd+bwd bench failed: {e!r}")
-            detail["glass_train_256_mrays_s"] = None
-            detail["glass_train_backward_engine"] = "xla_autodiff_wavefront_replay"
+            detail["glass_train_backward_engine"] = "failed"
 
         # ---- config #5 single chip: 4K 64-sphere 4-light stress ----
         # pad_multiple=None: the builder's default 128 exists for prim-axis
@@ -315,6 +331,21 @@ def main() -> None:
         log(f"dense mesh (scrambled OBJ order): {dt*1e3:.1f} ms/frame -> "
             f"{detail['dense_mesh_scrambled_mrays_s']} Mrays/s")
 
+        # ---- streamed mesh: 50,800 triangles @512^2 (HBM-streamed) ----
+        # Past MAX_PRIMS=8192 the triangle tables no longer fit SMEM; the
+        # chain kernel DMAs [STREAM_ROWS, TRI_BLOCK] windows from HBM per
+        # non-culled block (chain_trace.chain_trace_streamed_pallas, r5).
+        # Rounds 1-4 dropped such scenes to the ~100x-slower XLA path.
+        sts, stc = dense_mesh_scene(width=512, height=512, spp=1,
+                                    ni=128, nj=200)
+        stn = flatten_scene(sts).n_triangles
+        stfwd = jax.jit(lambda s: jnp.sum(render_hdr(s, stc, dcfg)))
+        dt = timed(lambda: stfwd(sts), label=f"streamed mesh {stn} tris @512^2")
+        detail["streamed_mesh_tris"] = int(stn)
+        detail["streamed_mesh_512_mrays_s"] = round(512 * 512 / dt / 1e6, 2)
+        log(f"streamed mesh ({stn} tris): {dt*1e3:.1f} ms/frame -> "
+            f"{detail['streamed_mesh_512_mrays_s']} Mrays/s")
+
         # ---- distribution composition: mesh-of-1 shard_map + kernels ----
         try:
             from raytracingengine_tpu.parallel.mesh import make_mesh
@@ -338,7 +369,7 @@ def main() -> None:
 
     detail["baseline_rays_s"] = _measured_baseline()
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                       "BENCH_DETAIL_r04.json")
+                       "BENCH_DETAIL_r05.json")
     # Merge over any previous record so an aborted secondary section
     # can't erase numbers an earlier complete run already measured.
     merged = {}
