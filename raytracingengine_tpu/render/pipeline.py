@@ -312,7 +312,16 @@ def render_hdr(
             px, py = px[perm], py[perm]
             pids = pids[perm]
     pids = jnp.asarray(pids)
-    chunk = min(cfg.chunk_size, r)
+    # A caller asking for whole-frame chunks (chunk_size >= pixel count)
+    # keeps ONE chunk even when the padded patch grid grows r slightly
+    # past it — otherwise the few padded rows spill into a second,
+    # nearly-empty chunk that still pays a full kernel dispatch
+    # (measured: 1000^2 spp=32 at 350 ms vs 197 ms for the superset
+    # 1024^2 render, purely from the ghost chunk).
+    if unswizzle_transpose is not None and cfg.chunk_size >= camera.num_pixels:
+        chunk = r
+    else:
+        chunk = min(cfg.chunk_size, r)
     n_chunks = -(-r // chunk)
     pad = n_chunks * chunk - r
     px = jnp.pad(px, (0, pad)).reshape(n_chunks, chunk)
