@@ -81,14 +81,9 @@ def main() -> None:
         f = jax.jit(lambda fl, _c=cfg: jnp.sum(chain_trace_pallas(fl, o, d, _c)))
         timed_dev(name, f, lambda i: perturb(flat, i))
 
-    # lights ablation: same scene, zero lights -> no shadow scans at all
-    ds0, _ = dense_mesh_scene(width=512, height=512, spp=1)
-    import raytracingengine_tpu.geometry.primitives as prim  # noqa: F401
-
-    flat0 = dataclasses.replace(
-        flat, lights=None
-    ) if False else None  # FlatScene keeps lights in a table; use n_lights=0 path
-    # Build a no-light variant by zeroing light activity via the scene:
+    # lights ablation: deactivating both lights removes the in-bounce
+    # shadow any-hit scans (dead-light gating), isolating closest-hit
+    # scan cost.
     ds_nl = dataclasses.replace(ds, lights=dataclasses.replace(
         ds.lights, active=jnp.zeros_like(ds.lights.active)
     ))
