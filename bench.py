@@ -182,6 +182,16 @@ def main() -> None:
         except Exception as e:
             log(f"glass device-trace failed: {e!r}")
 
+        # ---- glass spp=8: whole AA loop inside the wavefront kernel ----
+        # (kernels/wavefront_trace.wavefront_spp_trace_pallas, r5): one
+        # dispatch instead of looping the wavefront kernel per sample.
+        gs8, gc8 = glass_sphere_scene(width=width, height=height, spp=8)
+        g8 = jax.jit(lambda s: jnp.sum(render_hdr(s, gc8, gcfg)))
+        dt = timed(lambda: g8(gs8), label="glass spp=8 @1080p (in-kernel AA)")
+        detail["glass_spp8_1080p_mrays_s"] = round(rays_1080 * 8 / dt / 1e6, 1)
+        log(f"glass spp=8: {dt*1e3:.1f} ms -> "
+            f"{detail['glass_spp8_1080p_mrays_s']} Mrays/s (in-kernel AA)")
+
         # ---- glass TRAINING: fused taped-DFS adjoint (r5) ----
         # The wavefront backward now runs on-chip (kernels/
         # wavefront_grad.py): the forward DFS is replayed writing popped
@@ -345,6 +355,32 @@ def main() -> None:
         detail["streamed_mesh_512_mrays_s"] = round(512 * 512 / dt / 1e6, 2)
         log(f"streamed mesh ({stn} tris): {dt*1e3:.1f} ms/frame -> "
             f"{detail['streamed_mesh_512_mrays_s']} Mrays/s")
+
+        # ---- streamed mesh TRAINING: fwd+bwd past SMEM residency ----
+        # chain_grad.chain_grad_pallas_streamed (r5): the blocked adjoint
+        # with triangle windows DMA'd from HBM and cotangents accumulated
+        # by read-modify-write DMA — every scene that renders fused
+        # trains fused (grad parity pinned in tests/test_streamed.py).
+        _stperm, _ = _sp(512, 512, *_tl(stn)[1])
+        sto_, std_ = stc.rays_for_pixels(
+            *(g[_stperm] for g in stc.pixel_grid())
+        )
+        st_params, st_static = partition(sts)
+
+        def streamed_loss(p):
+            fl = flatten_scene(combine(p, st_static))
+            img = cg.chain_trace_fused(fl, sto_, std_, dcfg)
+            return jnp.mean(img * img)
+
+        stgf = jax.jit(jax.value_and_grad(streamed_loss))
+        dt = timed(lambda: stgf(st_params)[0],
+                   label=f"streamed mesh fwd+bwd {stn} tris @512^2")
+        detail["streamed_mesh_train_512_mrays_s"] = round(
+            512 * 512 / dt / 1e6, 2
+        )
+        log(f"streamed mesh fwd+bwd: {dt*1e3:.1f} ms/step -> "
+            f"{detail['streamed_mesh_train_512_mrays_s']} Mrays/s "
+            f"(streamed adjoint)")
 
         # ---- distribution composition: mesh-of-1 shard_map + kernels ----
         try:

@@ -49,6 +49,7 @@ from raytracingengine_tpu.kernels.chain_trace import (
     LANE,
     SUB,
     TILE,
+    TRI_BLOCK,
     _INF,
     _any_hit,
     _closest_hit,
@@ -1294,17 +1295,574 @@ def chain_grad_pallas_blocked(flat: FlatScene, o, d, gbar, cfg):
     )
 
 
+# =====================================================================
+# Streamed blocked adjoint: dense meshes past SMEM residency.
+#
+# Same three-piece decomposition as the blocked adjoint above, with the
+# triangle data living in HBM exactly as the streamed FORWARD keeps it
+# (chain_trace.pack_streamed_tables: one DMA-ready [STREAM_ROWS,
+# TRI_BLOCK] window per culling block). Three things move off-chip:
+#
+#   * the checkpoint pass and the occlusion recompute scan triangles via
+#     _closest_hit_streamed/_any_hit_streamed (window DMA per non-culled
+#     block, identical culling/tie-breaks to the streamed forward),
+#   * the triangle pullback DMAs each winner-containing block's window
+#     in, runs the unrolled 128-slot hit-vjp against it, and
+#   * triangle/material cotangents accumulate into an HBM tensor
+#     [n_blocks, STREAM_ROWS, TRI_BLOCK] via read-modify-write DMA
+#     (rows 0-11 = geometry params, 13-18 = material rows, matching the
+#     stream layout). The TPU grid is sequential, so RMW is race-free;
+#     tile 0 zeroes the accumulator with one window broadcast.
+#
+# Lifts MAX_PRIMS_GRAD to chain_trace.MAX_TRIS_STREAM: every scene that
+# RENDERS fused (including 50k+-triangle meshes) now TRAINS fused.
+# =====================================================================
+
+
+def _make_streamed_grad_kernel(
+    ns, np_, nt, nl, max_depth, bias, min_weight, nsb, npb, n_blocks, sub,
+):
+    """Streamed adjoint kernel factory. `n_blocks` = triangle culling
+    blocks (n_culling_blocks(nt)); pullback blocks for triangles ARE the
+    stream blocks (TRI_BLOCK == PBLK)."""
+    from raytracingengine_tpu.kernels.chain_trace import (
+        STREAM_ROWS,
+        _any_hit_streamed,
+        _closest_hit_streamed,
+    )
+
+    shade = _make_shade_hit(nl, bias, min_weight)
+    n_state = 8
+
+    def kernel(
+        sph_ref, pl_ref, matsp_ref, light_ref, taabb_ref, stream_ref,
+        ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, live_ref,
+        gr_ref, gg_ref, gb_ref,
+        gsph_ref, gpl_ref, glight_ref, gacc_ref,
+        gox_ref, goy_ref, goz_ref, gdx_ref, gdy_ref, gdz_ref,
+        states_ref,   # [max_depth, 8, sub, LANE]
+        window,       # [STREAM_ROWS, TRI_BLOCK] stream window
+        accwin_ref,   # [STREAM_ROWS, TRI_BLOCK] cotangent RMW window
+        sem, acc_sem,
+    ):
+        first = pl.program_id(0) == 0
+
+        @pl.when(first)
+        def _():
+            gsph_ref[...] = jnp.zeros(gsph_ref.shape, jnp.float32)
+            gpl_ref[...] = jnp.zeros(gpl_ref.shape, jnp.float32)
+            glight_ref[...] = jnp.zeros(glight_ref.shape, jnp.float32)
+            # Zero the HBM accumulator: broadcast one zero window.
+            accwin_ref[...] = jnp.zeros(
+                (STREAM_ROWS, TRI_BLOCK), jnp.float32
+            )
+
+            def zb(b, c):
+                cp = pltpu.make_async_copy(
+                    accwin_ref, gacc_ref.at[b], acc_sem
+                )
+                cp.start()
+                cp.wait()
+                return c
+
+            jax.lax.fori_loop(0, n_blocks, zb, 0)
+
+        closest_fn = lambda interest, want_pos, aox, aoy, aoz, adx, ady, adz: (
+            _closest_hit_streamed(
+                sph_ref, pl_ref, matsp_ref, stream_ref, taabb_ref,
+                window, sem, ns, np_, nt,
+                aox, aoy, aoz, adx, ady, adz,
+                interest=interest, want_pos=want_pos,
+            )
+        )
+
+        state0 = (
+            ox_ref[:], oy_ref[:], oz_ref[:],
+            dx_ref[:], dy_ref[:], dz_ref[:],
+            jnp.ones((sub, LANE)), live_ref[:],
+        )
+        shape = (sub, LANE)
+
+        # ---- forward: checkpoint the ray state per depth ----
+        def state_bounce(state):
+            ox, oy, oz, dx, dy, dz, weight, live_f = state
+            live = live_f > 0.0
+            (t, nx, ny, nz, _ar, _ag, _ab, spec, _sh) = closest_fn(
+                live, False, ox, oy, oz, dx, dy, dz
+            )
+            hit = t < _INF
+            shade_m = live & hit
+            ndotd = nx * dx + ny * dy + nz * dz
+            flip = jnp.where(ndotd < 0.0, 1.0, -1.0)
+            nx, ny, nz = nx * flip, ny * flip, nz * flip
+            t_safe = jnp.where(hit, t, 0.0)
+            px = ox + dx * t_safe
+            py = oy + dy * t_safe
+            pz = oz + dz * t_safe
+            cont = shade_m & (spec > bias) & (weight * spec >= min_weight)
+            ddn = dx * nx + dy * ny + dz * nz
+            rx = dx - 2.0 * ddn * nx
+            ry = dy - 2.0 * ddn * ny
+            rz = dz - 2.0 * ddn * nz
+            r2 = rx * rx + ry * ry + rz * rz
+            invr = jax.lax.rsqrt(jnp.maximum(r2, 1e-24))
+            rx, ry, rz = rx * invr, ry * invr, rz * invr
+            return (
+                jnp.where(cont, px + rx * bias, ox),
+                jnp.where(cont, py + ry * bias, oy),
+                jnp.where(cont, pz + rz * bias, oz),
+                jnp.where(cont, rx, dx),
+                jnp.where(cont, ry, dy),
+                jnp.where(cont, rz, dz),
+                jnp.where(cont, weight * spec, weight),
+                cont.astype(jnp.float32),
+            )
+
+        def fwd_cond(c):
+            dpt, state = c
+            return (dpt < max_depth) & (jnp.max(state[7]) > 0.0)
+
+        def fwd_body(c):
+            dpt, state = c
+            states_ref[dpt] = jnp.stack(state)
+            return dpt + 1, state_bounce(state)
+
+        nd, state_T = jax.lax.while_loop(
+            fwd_cond, fwd_body, (jnp.int32(0), state0)
+        )
+
+        gbar = (gr_ref[:], gg_ref[:], gb_ref[:])
+        _, sky_vjp = jax.vjp(_final_sky, state_T)
+        (state_cot,) = sky_vjp(gbar)
+        glight0 = tuple(jnp.float32(0.0) for _ in range(6 * max(nl, 1)))
+
+        # ---- reverse: per-depth shade-vjp + streamed hit pullback ----
+        def bwd_body(k, carry):
+            state_cot, gl = carry
+            dpt = nd - 1 - k
+            saved = states_ref[dpt]
+            state = tuple(saved[i] for i in range(n_state))
+            ox, oy, oz, dx, dy, dz, weight, live_f = state
+            live = live_f > 0.0
+
+            (t, nxr, nyr, nzr, ar, ag, ab, spec, shin, pos, tau) = (
+                closest_fn(live, True, ox, oy, oz, dx, dy, dz)
+            )
+            hitf = (t, nxr, nyr, nzr, ar, ag, ab, spec, shin, tau)
+            hit = t < _INF
+            shade_m = live & hit
+
+            ndotd = nxr * dx + nyr * dy + nzr * dz
+            flip = jnp.where(ndotd < 0.0, 1.0, -1.0)
+            fnx, fny, fnz = nxr * flip, nyr * flip, nzr * flip
+            t_safe = jnp.where(hit, t, 0.0)
+            px = ox + dx * t_safe
+            py = oy + dy * t_safe
+            pz = oz + dz * t_safe
+            sox = px + fnx * bias
+            soy = py + fny * bias
+            soz = pz + fnz * bias
+
+            lights = tuple(
+                tuple(light_ref[r, li] for r in range(6))
+                for li in range(nl)
+            )
+            occs = []
+            for li in range(nl):
+                lx, ly, lz = (
+                    light_ref[0, li], light_ref[1, li], light_ref[2, li]
+                )
+                vx, vy, vz = lx - px, ly - py, lz - pz
+                dist2 = vx * vx + vy * vy + vz * vz
+                dist = jnp.sqrt(jnp.maximum(dist2, 1e-30))
+                inv_d = 1.0 / dist
+                ldx, ldy, ldz = vx * inv_d, vy * inv_d, vz * inv_d
+                ndotl = jnp.maximum(0.0, fnx * ldx + fny * ldy + fnz * ldz)
+                ok = shade_m & (dist > bias) & (ndotl > 0.0)
+
+                def do_scan(ldx=ldx, ldy=ldy, ldz=ldz, ok=ok, dist=dist):
+                    return _any_hit_streamed(
+                        sph_ref, pl_ref, stream_ref, taabb_ref, window,
+                        sem, ns, np_, nt,
+                        sox, soy, soz, ldx, ldy, ldz,
+                        jnp.full(shape, bias), dist - bias, interest=ok,
+                    ).astype(jnp.float32)
+
+                occs.append(
+                    jax.lax.cond(
+                        jnp.any(ok), do_scan, lambda: jnp.ones(shape)
+                    )
+                )
+            occs = tuple(occs)
+
+            _, svjp = jax.vjp(shade, state, hitf, lights, occs)
+            s_cot, h_cot, l_cot, _ = svjp((state_cot, gbar))
+            (cot_t, cot_nx, cot_ny, cot_nz, cot_ar, cot_ag, cot_ab,
+             cot_sp, cot_sh, cot_tau) = h_cot
+
+            if nl:
+                gl = tuple(
+                    gl[li * 6 + r] + l_cot[li][r]
+                    for li in range(nl)
+                    for r in range(6)
+                )
+
+            gox, goy, goz = s_cot[0], s_cot[1], s_cot[2]
+            gdx, gdy, gdz = s_cot[3], s_cot[4], s_cot[5]
+            mat_cots = (cot_ar, cot_ag, cot_ab, cot_sp, cot_sh, cot_tau)
+
+            def pull_smem(table_ref, acc_ref, nb, pos_base, n_real,
+                          n_par, prim_fn, car):
+                """SMEM-table pullback (spheres/planes) — the blocked
+                adjoint's pull_block, type-range clamps included."""
+                rows_n = n_par + 7
+                lim_f = jnp.float32(pos_base + n_real)
+
+                def blk(b, car):
+                    base = b * PBLK
+                    base_f = (pos_base + base).astype(jnp.float32)
+                    in_blk = (
+                        (pos >= base_f)
+                        & (pos < jnp.minimum(base_f + PBLK, lim_f))
+                        & shade_m
+                    )
+
+                    def do():
+                        go = [jnp.zeros(shape) for _ in range(6)]
+                        cols = []
+                        for j in range(PBLK):
+                            idx = base + j
+                            params = tuple(
+                                table_ref[r, idx] for r in range(n_par)
+                            )
+                            slot_ok = base_f + j < lim_f
+                            mask = jnp.where(
+                                (pos == base_f + j) & slot_ok, 1.0, 0.0
+                            ) * shade_m.astype(jnp.float32)
+                            _, vjpf = jax.vjp(
+                                prim_fn, *params, ox, oy, oz, dx, dy, dz
+                            )
+                            cots = vjpf((
+                                cot_t * mask, cot_nx * mask,
+                                cot_ny * mask, cot_nz * mask,
+                            ))
+                            gpar = cots[:n_par]
+                            for q in range(6):
+                                go[q] = go[q] + cots[n_par + q]
+                            mats = tuple(
+                                jnp.sum(mask * mc) for mc in mat_cots
+                            )
+                            cols.append(
+                                jnp.stack(gpar + mats + (jnp.float32(0.0),))
+                            )
+                        vals = jnp.stack(cols, axis=1)
+                        return (vals,) + tuple(go)
+
+                    def skip():
+                        return (jnp.zeros((rows_n, PBLK)),) + tuple(
+                            jnp.zeros(shape) for _ in range(6)
+                        )
+
+                    out = jax.lax.cond(jnp.any(in_blk), do, skip)
+                    acc_ref[b] += out[0]
+                    return tuple(c + g for c, g in zip(car, out[1:]))
+
+                return jax.lax.fori_loop(0, nb, blk, car)
+
+            def pull_tri_streamed(car):
+                """Triangle pullback against DMA'd stream windows, with
+                HBM read-modify-write cotangent accumulation. Stream
+                blocks are full TRI_BLOCK and pos for triangles is the
+                scan position (ns+np_+slot), so no type-range overlap is
+                possible past the last real block (padded slots never
+                win and their masked cotangents are zero)."""
+                base0 = jnp.float32(ns + np_)
+
+                def blk(b, car):
+                    base_f = base0 + b.astype(jnp.float32) * TRI_BLOCK
+                    in_blk = (
+                        (pos >= base_f)
+                        & (pos < base_f + TRI_BLOCK)
+                        & shade_m
+                    )
+
+                    def do(car):
+                        cp = pltpu.make_async_copy(
+                            stream_ref.at[b], window, sem
+                        )
+                        cp.start()
+                        rd = pltpu.make_async_copy(
+                            gacc_ref.at[b], accwin_ref, acc_sem
+                        )
+                        rd.start()
+                        cp.wait()
+                        rd.wait()
+                        go = [jnp.zeros(shape) for _ in range(6)]
+                        cols = []
+                        for j in range(TRI_BLOCK):
+                            params = tuple(
+                                window[r, j] for r in range(12)
+                            )
+                            mask = jnp.where(
+                                pos == base_f + j, 1.0, 0.0
+                            ) * shade_m.astype(jnp.float32)
+                            _, vjpf = jax.vjp(
+                                _tri_tn_prim, *params,
+                                ox, oy, oz, dx, dy, dz,
+                            )
+                            cots = vjpf((
+                                cot_t * mask, cot_nx * mask,
+                                cot_ny * mask, cot_nz * mask,
+                            ))
+                            for q in range(6):
+                                go[q] = go[q] + cots[12 + q]
+                            mats = tuple(
+                                jnp.sum(mask * mc) for mc in mat_cots
+                            )
+                            # Stream-layout column: rows 0-11 geometry,
+                            # 12 zero (gi), 13-18 materials, rest zero.
+                            cols.append(jnp.stack(
+                                cots[:12] + (jnp.float32(0.0),) + mats
+                                + (jnp.float32(0.0),)
+                                * (STREAM_ROWS - 19)
+                            ))
+                        accwin_ref[...] = accwin_ref[...] + jnp.stack(
+                            cols, axis=1
+                        )
+                        wr = pltpu.make_async_copy(
+                            accwin_ref, gacc_ref.at[b], acc_sem
+                        )
+                        wr.start()
+                        wr.wait()
+                        return tuple(c + g for c, g in zip(car, go))
+
+                    return jax.lax.cond(
+                        jnp.any(in_blk), do, lambda c: c, car
+                    )
+
+                return jax.lax.fori_loop(0, n_blocks, blk, car)
+
+            car = (gox, goy, goz, gdx, gdy, gdz)
+            if ns:
+                car = pull_smem(
+                    sph_ref, gsph_ref, nsb, 0, ns, 4, _sphere_tn_prim, car
+                )
+            if np_:
+                car = pull_smem(
+                    pl_ref, gpl_ref, npb, ns, np_, 4, _plane_tn_prim, car
+                )
+            if nt:
+                car = pull_tri_streamed(car)
+            gox, goy, goz, gdx, gdy, gdz = car
+
+            new_cot = (gox, goy, goz, gdx, gdy, gdz, s_cot[6], s_cot[7])
+            return new_cot, gl
+
+        state_cot, gl = jax.lax.fori_loop(
+            0, nd, bwd_body, (state_cot, glight0)
+        )
+
+        nl_pad = max(nl, 1)
+        gl_arr = jnp.concatenate(
+            [
+                jnp.stack(
+                    [
+                        jnp.stack([gl[li * 6 + r] for li in range(nl_pad)])
+                        for r in range(6)
+                    ]
+                ),
+                jnp.zeros((1, nl_pad)),
+            ],
+            axis=0,
+        )
+
+        @pl.when(first)
+        def _():
+            glight_ref[...] = gl_arr
+
+        @pl.when(jnp.logical_not(first))
+        def _():
+            glight_ref[...] += gl_arr
+
+        gox_ref[:] = state_cot[0]
+        goy_ref[:] = state_cot[1]
+        goz_ref[:] = state_cot[2]
+        gdx_ref[:] = state_cot[3]
+        gdy_ref[:] = state_cot[4]
+        gdz_ref[:] = state_cot[5]
+
+    return kernel
+
+
+def chain_grad_pallas_streamed(flat: FlatScene, o, d, gbar, cfg):
+    """Streamed adjoint wrapper: like chain_grad_pallas_blocked but for
+    triangle counts past SMEM residency (chain_trace.MAX_PRIMS <
+    n_triangles <= MAX_TRIS_STREAM). Returns table cotangents in
+    pack_scene_tables shapes."""
+    from raytracingengine_tpu.kernels.chain_trace import (
+        DENSE_SUB,
+        STREAM_ROWS,
+        n_culling_blocks,
+        pack_streamed_tables,
+    )
+
+    r = o.shape[0]
+    sub = DENSE_SUB
+    tile = sub * LANE
+    n_tiles = -(-r // tile)
+    pad = n_tiles * tile - r
+
+    def shape_ray(x, fill=0.0):
+        return (
+            jnp.pad(x, (0, pad), constant_values=fill)
+            .reshape(n_tiles * sub, LANE)
+            .astype(jnp.float32)
+        )
+
+    ox, oy, oz = (shape_ray(o[:, i]) for i in range(3))
+    dx, dy = shape_ray(d[:, 0]), shape_ray(d[:, 1])
+    dz = shape_ray(d[:, 2], fill=1.0)
+    live = shape_ray(jnp.ones((r,), jnp.float32))
+    gr, gg, gb = (shape_ray(gbar[:, i]) for i in range(3))
+
+    (sph, pl_, mat_sp, light, taabb, stream), perm = pack_streamed_tables(
+        flat
+    )
+    ns, np_, nt, nl = (
+        flat.n_spheres, flat.n_planes, flat.n_triangles, flat.n_lights
+    )
+    n_blocks = n_culling_blocks(nt)
+    nsb = -(-ns // PBLK) if ns else 0
+    npb = -(-np_ // PBLK) if np_ else 0
+
+    def pad_tab(t, n, blocks):
+        want = max(blocks, 1) * PBLK
+        return jnp.pad(t, ((0, 0), (0, want - t.shape[1]))) if n else t
+
+    sph_p = pad_tab(sph, ns, nsb)
+    pl_p = pad_tab(pl_, np_, npb)
+
+    kernel = _make_streamed_grad_kernel(
+        ns, np_, nt, nl, cfg.max_depth, cfg.bias, cfg.min_weight,
+        nsb, npb, n_blocks, sub,
+    )
+
+    smem = lambda t: pl.BlockSpec(
+        t.shape, lambda i, _nz=t.ndim: (0,) * _nz, memory_space=pltpu.SMEM
+    )
+    ray_spec = pl.BlockSpec(
+        (sub, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    acc_shapes = (
+        (max(nsb, 1), 11, PBLK),
+        (max(npb, 1), 11, PBLK),
+        (7, max(nl, 1)),
+    )
+    acc_spec = tuple(
+        pl.BlockSpec(s, lambda i, _nz=len(s): (0,) * _nz,
+                     memory_space=pltpu.VMEM)
+        for s in acc_shapes
+    )
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[smem(t) for t in (sph_p, pl_p, mat_sp, light, taabb)]
+        + [pl.BlockSpec(memory_space=pl.ANY)]
+        + [ray_spec] * 10,
+        out_specs=acc_spec
+        + (pl.BlockSpec(memory_space=pl.ANY),)
+        + (ray_spec,) * 6,
+        out_shape=tuple(
+            jax.ShapeDtypeStruct(s, jnp.float32) for s in acc_shapes
+        )
+        + (jax.ShapeDtypeStruct(
+            (n_blocks, STREAM_ROWS, TRI_BLOCK), jnp.float32
+        ),)
+        + tuple(
+            jax.ShapeDtypeStruct((n_tiles * sub, LANE), jnp.float32)
+            for _ in range(6)
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((cfg.max_depth, 8, sub, LANE), jnp.float32),
+            pltpu.VMEM((STREAM_ROWS, TRI_BLOCK), jnp.float32),
+            pltpu.VMEM((STREAM_ROWS, TRI_BLOCK), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )(sph_p, pl_p, mat_sp, light, taabb, stream,
+      ox, oy, oz, dx, dy, dz, live, gr, gg, gb)
+
+    gsph_acc, gpl_acc, glight, gacc = outs[:4]
+    ray_grads = outs[4:]
+
+    def unacc(acc, width, n_par):
+        rows = acc.shape[1]
+        flatacc = acc.transpose(1, 0, 2).reshape(rows, -1)[:, :width]
+        return flatacc[:n_par], flatacc[n_par:n_par + 7]
+
+    if ns:
+        gsph, gmat_s = unacc(gsph_acc, sph.shape[1], 4)
+    else:
+        gsph, gmat_s = jnp.zeros_like(sph), jnp.zeros((7, 0))
+    if np_:
+        gpl, gmat_p = unacc(gpl_acc, pl_.shape[1], 4)
+    else:
+        gpl, gmat_p = jnp.zeros_like(pl_), jnp.zeros((7, 0))
+
+    # [n_blocks, STREAM_ROWS, TRI_BLOCK] -> [STREAM_ROWS, NT_scan]
+    flatacc = gacc.transpose(1, 0, 2).reshape(STREAM_ROWS, -1)
+    gtri_scan = flatacc[:12]
+    gmat_t6 = flatacc[13:19]
+    # scatter scan order -> authoring order (perm from the packer)
+    if perm is not None:
+        valid = perm >= 0
+        idx = jnp.where(valid, perm, 0)
+
+        def unscramble(g):
+            return (
+                jnp.zeros((g.shape[0], nt), g.dtype)
+                .at[:, idx]
+                .add(jnp.where(valid[None, :], g, 0.0))
+            )
+
+        gtri_scan = unscramble(gtri_scan)
+        gmat_t6 = unscramble(gmat_t6)
+    else:
+        gtri_scan = gtri_scan[:, :nt]
+        gmat_t6 = gmat_t6[:, :nt]
+    # pack_scene_tables' mat has 7 rows (row 6 = active flag, zero cot)
+    gmat_t = jnp.concatenate(
+        [gmat_t6, jnp.zeros((1, gmat_t6.shape[1]))], axis=0
+    )
+    gmat = jnp.concatenate([gmat_s, gmat_p, gmat_t], axis=1) if (
+        flat.n_primitives
+    ) else jnp.zeros((7, 1))
+    if not nl:
+        glight = jnp.zeros((7, 1))
+
+    def unshape(x):
+        return x.reshape(-1)[:r]
+
+    go = jnp.stack([unshape(ray_grads[i]) for i in range(3)], axis=-1)
+    gd = jnp.stack([unshape(ray_grads[i + 3]) for i in range(3)], axis=-1)
+    return (gsph, gpl, gtri_scan, gmat, glight), go.astype(o.dtype), (
+        gd.astype(d.dtype)
+    )
+
+
 #: Primitive ceiling for the python-unrolled adjoint kernel (compile
 #: time linear in primitive count). Scenes past this use the blocked
 #: adjoint kernel above, whose compile cost is primitive-count
 #: independent.
 _MAX_PRIMS_UNROLL = 512
 
-#: Primitive ceiling for FUSED backward overall — now equal to the
-#: forward kernels' SMEM ceiling (chain_trace.MAX_PRIMS): every scene
-#: that renders fused also trains fused. Past this, the backward falls
-#: back to XLA autodiff of the chain integrator (with a warning).
-MAX_PRIMS_GRAD = 8192
+#: Primitive ceiling for FUSED backward overall — equal to the streamed
+#: forward's ceiling (chain_trace.MAX_TRIS_STREAM): every scene that
+#: renders fused also trains fused, including HBM-streamed dense meshes
+#: (the streamed adjoint above). Past this, the backward falls back to
+#: XLA autodiff of the chain integrator (with a warning).
+MAX_PRIMS_GRAD = 131072
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
@@ -1321,7 +1879,8 @@ def _fused_fwd(flat, o, d, cfg):
 
 def _fused_bwd(cfg, res, g):
     flat, o, d = res
-    if flat.n_primitives > MAX_PRIMS_GRAD:
+    non_tri = flat.n_primitives - flat.n_triangles
+    if flat.n_primitives > MAX_PRIMS_GRAD or non_tri > 8192:
         # Scene too large even for the loop-based adjoint kernel's SMEM
         # tables: differentiate the (numerically matching) XLA chain
         # integrator instead. Forward stays on the fused kernel. Be loud:
@@ -1345,7 +1904,15 @@ def _fused_bwd(cfg, res, g):
     # Pull cotangents back through the (pure JAX) table packing so derived
     # entries (r^2, e1/e2, pn, emitted) chain to the original leaves.
     _, pack_vjp = jax.vjp(pack_scene_tables, flat)
-    if flat.n_primitives > _MAX_PRIMS_UNROLL:
+    from raytracingengine_tpu.kernels.chain_trace import (
+        MAX_PRIMS as _FWD_SMEM_CAP,
+    )
+
+    if flat.n_triangles > _FWD_SMEM_CAP:
+        # Streamed dense mesh: triangle tables live in HBM for the
+        # forward (chain_trace_streamed_pallas) and for this adjoint.
+        table_cots, go, gd = chain_grad_pallas_streamed(flat, o, d, g, cfg)
+    elif flat.n_primitives > _MAX_PRIMS_UNROLL:
         # Dense scene: the blocked adjoint kernel (compile cost
         # independent of primitive count, run cost one culled loop).
         table_cots, go, gd = chain_grad_pallas_blocked(flat, o, d, g, cfg)

@@ -26,11 +26,14 @@ general case — the reference's TraceRay binary recursion tree
     render/shading.py::transmittance_hard. `shadow_mode='binary'` swaps
     in the single-pass any-hit test instead.
 
-Forward only: the primal runs fused; the custom_vjp backward is the XLA
-wavefront integrator's autodiff (fixed-trip scan), the same
-primal-kernel + reference-VJP pattern chain_trace.py used before the
-fused adjoint existed. Training transparent scenes is not the headline
-metric; rendering them fast is.
+Differentiable: the primal runs fused, and for scenes up to
+chain_grad._MAX_PRIMS_UNROLL primitives the custom_vjp backward is the
+fused taped-DFS adjoint (kernels/wavefront_grad.py — the forward DFS
+replayed onto an HBM node tape, swept in reverse with a mirrored
+cotangent stack). Larger transparent scenes fall back to XLA autodiff
+of the fixed-trip wavefront integrator, with a loud warning. spp>1
+rendering has its own in-kernel AA sampler (wavefront_spp_trace_pallas,
+forward-only hardware-PRNG jitter).
 
 Parity notes mirrored from the reference: front-face normal flip
 (Scene.h:145-146), eta = 1/etaT vs etaT by face side (Scene.h:176),
