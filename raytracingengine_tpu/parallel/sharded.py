@@ -96,11 +96,20 @@ def render_hdr_sharded(
         # Round-robin patch deal across shards: a contiguous split of
         # the patch-major order would hand each shard a horizontal band,
         # whose live-bounce work differs several-x between sky and
-        # geometry (load_balance.py: 0.49 efficiency ceiling at 4K).
+        # geometry (load_balance.py: 0.49 efficiency ceiling at 4K;
+        # SCALING_r05.json has the measured per-shard device times).
         perm, inv_perm = _swizzle_perm(
             camera.width, camera.height, pw, ph, round_robin=n_ray
         )
-        px, py = px[perm], py[perm]
+        # Host-side constants, not device gathers: TPU gathers at 2M
+        # arbitrary indices cost ~15 ms each (PROFILE.md §7) — derive the
+        # swizzled coordinates from the numpy permutation directly.
+        import numpy as _np
+
+        px = jnp.asarray((_np.asarray(perm) % camera.width).astype(_np.int32))
+        py = jnp.asarray(
+            (_np.asarray(perm) // camera.width).astype(_np.int32)
+        )
     # Local chunking keeps per-chip memory bounded; pad to n_ray * chunk.
     local = -(-r // n_ray)
     chunk = min(cfg.chunk_size, local)

@@ -50,7 +50,7 @@ def main() -> int:
     w, h = 128, TILE // 128
     failures = 0
 
-    def check(name, ours, ref, atol):
+    def check(name, ours, ref, atol, frac_budget=1e-3):
         # Mosaic and XLA contract FMAs differently, so a handful of
         # pixels sitting exactly on a hit/shadow tie flip their binary
         # visibility — full-contribution diffs on <=0.1% of pixels are
@@ -60,7 +60,7 @@ def main() -> int:
         ours = np.asarray(ours)
         diff = np.abs(ours - ref)
         frac_bad = float((diff.max(axis=-1) > atol).mean())
-        ok = np.isfinite(ours).all() and frac_bad <= 1e-3
+        ok = np.isfinite(ours).all() and frac_bad <= frac_budget
         print(f"{'PASS' if ok else 'FAIL'} {name} "
               f"(max|diff|={diff.max():.2e}, frac>tol={frac_bad:.2e})",
               flush=True)
@@ -179,7 +179,109 @@ def main() -> int:
     failures += 0 if ok else 1
     print(f"  compile+run {time.time() - t0:.1f}s", flush=True)
 
-    print(f"{5 - failures}/5 kernels PASS")
+    # Wavefront taped-DFS adjoint (r5): glass training grads on-chip vs
+    # XLA autodiff of the fixed-trip wavefront replay (scene-parameter
+    # space, see the chain_grad note).
+    import dataclasses as _dc
+
+    from raytracingengine_tpu.kernels.wavefront_trace import wavefront_trace
+    from raytracingengine_tpu.render.integrator import (
+        integrate_wavefront as _iw,
+    )
+
+    gparams, gstatic = partition(gscene)
+    wcfg = RenderConfig(shadow_mode="binary", wavefront_budget=24)
+
+    def wloss_fused(p):
+        fl = flatten_scene(combine(p, gstatic))
+        return jnp.sum(wavefront_trace(fl, go, gd, wcfg) ** 2)
+
+    def wloss_xla(p):
+        fl = flatten_scene(combine(p, gstatic))
+        cfg_d = _dc.replace(wcfg, differentiable=True)
+        return jnp.sum(_iw(fl, go, gd, cfg_d) ** 2)
+
+    t0 = time.time()
+    wg_f = jax.jit(jax.grad(wloss_fused))(gparams)
+    wg_r = jax.jit(jax.grad(wloss_xla))(gparams)
+    wl_f = [x for x in jax.tree.leaves(wg_f) if x.size]
+    wl_r = [x for x in jax.tree.leaves(wg_r) if x.size]
+    rel = max(
+        float(jnp.max(jnp.abs(a - b)) / (jnp.max(jnp.abs(b)) + 1e-6))
+        for a, b in zip(wl_f, wl_r)
+    )
+    finite = all(bool(jnp.isfinite(a).all()) for a in wl_f)
+    grad_l1 = sum(float(jnp.sum(jnp.abs(a))) for a in wl_f)
+    ok = finite and rel < 5e-2 and grad_l1 > 0.0
+    print(f"{'PASS' if ok else 'FAIL'} wavefront_grad (taped-DFS adjoint) "
+          f"(max|diff|={rel:.2e}, grad_l1={grad_l1:.3e})", flush=True)
+    failures += 0 if ok else 1
+    print(f"  compile+run {time.time() - t0:.1f}s", flush=True)
+
+    # Wavefront in-kernel AA sampler (r5) at spp=1 == center-ray trace.
+    from raytracingengine_tpu.kernels.wavefront_trace import (
+        wavefront_spp_trace_pallas,
+    )
+
+    gpx, gpy = gcam.pixel_grid()
+    t0 = time.time()
+    wspp = jax.jit(
+        lambda: wavefront_spp_trace_pallas(gflat, gcam, gcfg, gpx, gpy, 7)
+    )
+    # Budget 0.5%: this kernel builds camera rays in-kernel (VPU rsqrt),
+    # and ULP-level direction differences vs the XLA-built reference rays
+    # get discretely amplified at refraction/TIR branch boundaries —
+    # measured diffs stay <1e-3 HDR on ~0.24% of glass pixels.
+    check("wavefront_spp (glass AA, spp=1)", wspp().reshape(-1, 3), gref,
+          atol=1e-4, frac_budget=5e-3)
+    print(f"  compile+run {time.time() - t0:.1f}s", flush=True)
+
+    # HBM-streamed forward (r5): 50,800 triangles past SMEM residency,
+    # vs the XLA integrator on a 32x32 ray set.
+    sscene, scam = dense_mesh_scene(width=32, height=32, spp=1,
+                                    ni=128, nj=200)
+    sflat = flatten_scene(sscene)
+    from raytracingengine_tpu.kernels.chain_trace import MAX_PRIMS
+
+    assert sflat.n_triangles > MAX_PRIMS
+    so_, sd_ = scam.rays_for_pixels(*scam.pixel_grid())
+    sref = np.asarray(jax.jit(lambda: integrate_chain(sflat, so_, sd_, cfg))())
+    t0 = time.time()
+    sfwd = jax.jit(lambda oo, dd: chain_trace_pallas(sflat, oo, dd, cfg))
+    check("chain_trace_streamed (50.8k tris)",
+          sfwd(so_, sd_).reshape(-1, 3), sref.reshape(-1, 3), atol=1e-4)
+    print(f"  compile+run {time.time() - t0:.1f}s", flush=True)
+
+    # Streamed adjoint (r5): training grads past SMEM residency — finite,
+    # nonzero, and loss decreases under one SGD step (full grad parity is
+    # pinned at interpreter scale in tests/test_streamed.py).
+    sparams, sstatic = partition(sscene)
+
+    def sloss(p):
+        fl = flatten_scene(combine(p, sstatic))
+        return jnp.mean(chain_trace_fused(fl, so_, sd_, cfg) ** 2)
+
+    t0 = time.time()
+    sgf = jax.jit(jax.value_and_grad(sloss))
+    l0, sg = sgf(sparams)
+    l0 = float(l0)
+    sgl = [x for x in jax.tree.leaves(sg)
+           if x.size and jnp.issubdtype(x.dtype, jnp.floating)]
+    finite = all(bool(jnp.isfinite(a).all()) for a in sgl)
+    grad_l1 = sum(float(jnp.sum(jnp.abs(a))) for a in sgl)
+    p1 = jax.tree.map(
+        lambda a, b: a - 1e-4 * b
+        if jnp.issubdtype(a.dtype, jnp.floating) else a,
+        sparams, sg,
+    )
+    l1 = float(sgf(p1)[0])
+    ok = finite and grad_l1 > 0.0 and l1 < l0
+    print(f"{'PASS' if ok else 'FAIL'} chain_grad_streamed (50.8k bwd) "
+          f"(grad_l1={grad_l1:.3e}, loss {l0:.5f} -> {l1:.5f})", flush=True)
+    failures += 0 if ok else 1
+    print(f"  compile+run {time.time() - t0:.1f}s", flush=True)
+
+    print(f"{9 - failures}/9 kernels PASS")
     return 1 if failures else 0
 
 
