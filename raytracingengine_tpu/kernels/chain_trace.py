@@ -17,17 +17,21 @@ first-wins updates, vectorized 1024 rays at a time.
 
 Scope: opaque scenes (the chain integrator's domain), binary shadow
 visibility (== the reference march on opaque scenes, render/config.py),
-scenes up to MAX_PRIMS = 8192 SMEM-resident primitives. Above TRI_BLOCK
-triangles the scan turns hierarchical: triangles are reordered into
-spatially compact blocks (pack_forward_tables picks the tightest of
-authoring / Morton / kd median-split order by summed block surface
-area), one conservative AABB per block is tested against the whole ray
-tile, and blocks no live lane's segment can touch are skipped — result-
-identical, with equal-t ties still resolved in authoring order via a
-carried original-index row. Larger scenes and transparency fall back to
-the XLA path. Forward only — the differentiable path stays on XLA;
-`chain_trace` wires a custom_vjp whose backward is the autodiff of the
-XLA integrator, so `jax.grad` through it still works.
+scenes up to MAX_PRIMS = 8192 SMEM-resident primitives — and beyond, to
+MAX_TRIS_STREAM = 131,072 triangles, by streaming DMA-ready
+[STREAM_ROWS, TRI_BLOCK] triangle windows from HBM per non-culled block
+(chain_trace_streamed_pallas; only per-block AABBs and sphere/plane
+tables stay in SMEM). Above TRI_BLOCK triangles the scan turns
+hierarchical: triangles are reordered into spatially compact blocks
+(pack_forward_tables picks the tightest of authoring / Morton / kd
+median-split order by summed block surface area), one conservative AABB
+per block is tested against the whole ray tile, and blocks no live
+lane's segment can touch are skipped — result-identical, with equal-t
+ties still resolved in authoring order via a carried original-index
+row. Transparency goes through the wavefront kernel. Training runs the
+fused adjoints in chain_grad.py (unrolled / blocked / streamed, via
+chain_trace_fused's custom_vjp); the plain `chain_trace` here keeps the
+simpler primal-kernel + XLA-autodiff-backward pattern.
 
 Parity notes (all mirrored from the reference):
   sphere quadratic with a = d.d and eps=1e-6 preferring the near root
