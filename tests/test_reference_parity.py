@@ -105,10 +105,34 @@ def test_streamed_mesh_vs_real_engine():
     # integrator validated here is itself the oracle the streamed kernel
     # is pinned against in tests/test_streamed.py, closing the chain
     # streamed kernel == XLA integrator == real C++ engine.
+    #
+    # Every 8th row (8,192 pixels): the CPU all-pairs oracle at 50.8k
+    # primitives costs ~42 GFLOP per 16k-ray chunk — the full frame made
+    # this single test dominate the suite (measured 602 s even at 1/4
+    # rows). The row stride keeps full horizontal coverage of
+    # mesh/floor/sky/silhouettes.
+    import jax.numpy as jnp
+
+    from raytracingengine_tpu.render.pipeline import render_rays
     from raytracingengine_tpu.scenes.builders import dense_mesh_scene
 
     scene, cam = dense_mesh_scene(256, 256, spp=1, ni=128, nj=200)
-    _compare("dense_mesh_streamed_256", scene, cam, max_bad_frac=2e-5)
+    ref = refdump.load_dump("dense_mesh_streamed_256").reshape(256, 256, 3)
+    rows = np.arange(0, 256, 8)
+    px, py = np.meshgrid(np.arange(256), rows)
+    o, d = cam.rays_for_pixels(
+        jnp.asarray(px.ravel()), jnp.asarray(py.ravel())
+    )
+    img = np.asarray(render_rays(scene, o, d, RenderConfig()), np.float64)
+    ref_s = ref[rows].reshape(-1, 3)
+    diff = np.abs(img - ref_s)
+    assert np.percentile(diff, 99.9) < 5e-5
+    byte_diff = np.abs(_ldr_bytes(img) - _ldr_bytes(ref_s))
+    bad_frac = float((byte_diff > 1).mean())
+    assert bad_frac <= 2e-5, (
+        f"streamed parity: {bad_frac:.2e} subpixels differ "
+        f"(max byte diff {byte_diff.max()})"
+    )
 
 
 @needs("head_box_1080p")
