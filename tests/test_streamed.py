@@ -62,14 +62,18 @@ def test_streamed_adjoint_grads_match_xla(monkeypatch):
     The SMEM ceiling is lowered to 512 for the test so a 616-triangle
     mesh exercises the streamed kernels at interpreter-mode-feasible
     cost (the routing reads chain_trace.MAX_PRIMS at call time; the
-    full-scale 50.8k-tri path runs on hardware in bench.py and is
-    forward-validated against the real engine in
-    test_reference_parity.py)."""
+    full-scale 50.8k-tri path runs on hardware in bench.py and
+    tpu_smoke.py and is forward-validated against the real engine in
+    test_reference_parity.py). The MIXED scene (2 spheres + plane +
+    mesh) makes the sphere/plane pullback blocks' PBLK-padded ranges
+    overlap the next type's scan positions — the r04 advisor's
+    high-severity configuration — under the streamed triangle path."""
     from raytracingengine_tpu.inverse import combine, partition
     from raytracingengine_tpu.kernels import chain_grad as cg
+    from raytracingengine_tpu.scenes.builders import mixed_dense_scene
 
     monkeypatch.setattr(ct, "MAX_PRIMS", 512)
-    scene, cam = dense_mesh_scene(width=8, height=8, ni=12, nj=28)
+    scene, cam = mixed_dense_scene(width=8, height=8, ni=12, nj=28)
     flat = flatten_scene(scene)
     assert flat.n_triangles > ct.MAX_PRIMS  # actually streams
     o, d = cam.rays_for_pixels(*cam.pixel_grid())
